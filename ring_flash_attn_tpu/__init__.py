@@ -1,0 +1,25 @@
+"""ring-flash-attention-tpu: TPU-native ring/context-parallel flash attention.
+
+A from-scratch JAX/XLA/Pallas re-design of the capability surface of
+zhuzilin/ring-flash-attention (see SURVEY.md): Pallas flash-attention block
+kernels (fwd+bwd, causal, GQA, varlen-via-segment-ids), LSE-rescale partial
+merging, and four context-parallel schedules (basic ring, zigzag, stripe,
+llama3 all-gather) expressed as shard_map programs over a jax.sharding.Mesh
+with `jax.lax.ppermute` / `all_gather` / `psum_scatter` collectives instead of
+NCCL P2P.
+
+Public API mirrors the reference's 18 attention entry points
+(reference ring_flash_attn/__init__.py:1-35) plus TPU-native extras.
+"""
+
+__version__ = "0.1.0"
+
+# Full public API re-exports are installed by api.py as it lands; during the
+# incremental build, import submodules directly.
+try:  # pragma: no cover
+    from .api import *  # noqa: F401,F403
+    from .api import __all__ as _api_all
+
+    __all__ = list(_api_all)
+except ImportError:  # api layer not built yet
+    __all__ = []

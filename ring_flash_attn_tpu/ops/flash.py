@@ -1,0 +1,93 @@
+"""Block flash-attention entry points + single-device differentiable API.
+
+`block_fwd` / `block_bwd` are the L1 kernel boundary of the framework — the
+role flash-attn's private `_flash_attn_forward/_backward` play in the
+reference (imported at reference ring_flash_attn.py:3). Schedules call these
+directly; `flash_attention` wraps them in a `jax.custom_vjp` for standalone
+single-device use (and as the oracle the distributed tests compare against).
+
+Internal layout is (B, H, S, D); the public api layer handles flash-attn's
+(B, S, H, D) convention.
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from ..config import get_backend
+from .mask import MaskArgs
+from .naive import naive_block_fwd, naive_block_bwd
+
+
+def block_fwd(q, k, v, scale, mask: MaskArgs, backend=None):
+    """One attention block: returns (out f32 (B,Hq,Sq,D), lse f32 (B,Hq,Sq))."""
+    backend = get_backend(backend)
+    if backend == "xla":
+        return naive_block_fwd(q, k, v, scale, mask)
+    from .pallas_fwd import pallas_block_fwd
+
+    return pallas_block_fwd(
+        q, k, v, scale, mask, interpret=(backend == "pallas_interpret")
+    )
+
+
+def block_bwd(dout, q, k, v, lse, delta, scale, mask: MaskArgs, backend=None):
+    """Block backward: returns (dq, dk, dv) fp32, dk/dv reduced over GQA group.
+
+    `delta = rowsum(dout * out)` is computed once by the caller (it only
+    depends on the final merged out), unlike the reference which lets each
+    flash-bwd call recompute it internally.
+    """
+    backend = get_backend(backend)
+    if backend == "xla":
+        return naive_block_bwd(dout, q, k, v, lse, delta, scale, mask)
+    from .pallas_bwd import pallas_block_bwd
+
+    return pallas_block_bwd(
+        dout, q, k, v, lse, delta, scale, mask,
+        interpret=(backend == "pallas_interpret"),
+    )
+
+
+def compute_delta(dout, out):
+    """delta_i = sum_d dout[i,d] * out[i,d], fp32, shape (B, H, S)."""
+    return jnp.sum(
+        dout.astype(jnp.float32) * out.astype(jnp.float32), axis=-1
+    )
+
+
+# ---------------------------------------------------------------------------
+# Single-device differentiable flash attention (internal layout).
+# ---------------------------------------------------------------------------
+
+
+def flash_attention(q, k, v, scale, mask: MaskArgs, backend=None):
+    """Differentiable single-device flash attention; returns (out, lse).
+
+    out is cast to q.dtype, lse stays fp32 — the contract the reference's
+    autograd Functions expose (reference ring_flash_attn.py:192-200).
+    mask may contain traced arrays (segids/positions), so the custom_vjp
+    closes over (scale, mask, backend) rather than threading them as
+    nondiff args.
+    """
+
+    @jax.custom_vjp
+    def f(q, k, v):
+        out, lse = block_fwd(q, k, v, scale, mask, backend)
+        return out.astype(q.dtype), lse
+
+    def f_fwd(q, k, v):
+        out, lse = block_fwd(q, k, v, scale, mask, backend)
+        out = out.astype(q.dtype)
+        return (out, lse), (q, k, v, out, lse)
+
+    def f_bwd(res, grads):
+        q, k, v, out, lse = res
+        dout, _ = grads  # no gradient path through lse, as in the reference
+        delta = compute_delta(dout, out)
+        dq, dk, dv = block_bwd(dout, q, k, v, lse, delta, scale, mask, backend)
+        return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)
+
+    f.defvjp(f_fwd, f_bwd)
+    return f(q, k, v)

@@ -1,0 +1,81 @@
+"""Attention-mask specification shared by all block-kernel backends.
+
+The reference library never owns a mask: it drives flash-attn's `causal`
+flag per ring step and realizes the zigzag/stripe/llama3 geometry by slicing
+tensors (e.g. stripe's off-by-one `q[:,1:]` vs `k[:,:-1]`,
+reference stripe_flash_attn.py:63-93, or llama3's clipped `cu_seqlens_k`,
+reference llama3_flash_attn_varlen.py:44-48). On TPU, slicing to odd shapes
+breaks tiling, so we instead parameterize the kernel's mask:
+
+- ``causal``        (static bool): enable position comparison at all.
+- ``offset``        (static int or traced scalar): attend iff
+                    ``iq + offset >= ik``. offset=0 is plain causal;
+                    offset=-1 is stripe's shifted diagonal; offset=rank*L is
+                    llama3's global-position causal vs a gathered KV.
+- ``q_pos/kv_pos``  ((Sq,)/(Skv,) int32): explicit global positions; attend
+                    iff ``q_pos[iq] >= kv_pos[ik]``. Subsumes `offset` for
+                    varlen layouts where per-token positions are irregular
+                    (zigzag-varlen chunk interleaving).
+- ``q_segids/kv_segids`` ((Sq,)/(Skv,) int32): varlen packing — attend only
+                    within the same segment. Replaces the reference's
+                    cu_seqlens plumbing at the kernel boundary
+                    (reference ring_flash_attn_varlen.py:56-59).
+
+All fields are optional and combinable; `None` means "no constraint".
+"""
+
+from typing import NamedTuple, Optional, Any
+
+import jax.numpy as jnp
+from jax import lax
+
+# Sentinel for masked logits. NOT -inf: fully-masked rows then yield
+# lse ≈ NEG_INF + log(n), which merge_partials() treats as weight-zero
+# without ever producing NaNs (sigmoid/exp underflow to exactly 0).
+NEG_INF = -1e30
+
+
+class MaskArgs(NamedTuple):
+    causal: bool = False
+    offset: Optional[Any] = None  # int (static) or traced int32 scalar
+    q_segids: Optional[Any] = None
+    kv_segids: Optional[Any] = None
+    q_pos: Optional[Any] = None
+    kv_pos: Optional[Any] = None
+
+    @property
+    def has_position_mask(self):
+        return self.causal
+
+    @property
+    def has_segment_mask(self):
+        return self.q_segids is not None
+
+
+def allowed_mask(mask: MaskArgs, sq: int, skv: int):
+    """Dense bool (Sq, Skv) mask, or None if unconstrained. XLA-backend path."""
+    allowed = None
+    if mask.causal:
+        if mask.q_pos is not None:
+            qp = mask.q_pos.astype(jnp.int32)
+            kp = mask.kv_pos.astype(jnp.int32)
+        else:
+            qp = lax.iota(jnp.int32, sq)
+            kp = lax.iota(jnp.int32, skv)
+            if mask.offset is not None:
+                qp = qp + mask.offset
+        allowed = qp[:, None] >= kp[None, :]
+    if mask.q_segids is not None:
+        seg = mask.q_segids.astype(jnp.int32)[:, None] == mask.kv_segids.astype(
+            jnp.int32
+        )[None, :]
+        allowed = seg if allowed is None else (allowed & seg)
+    return allowed
+
+
+def mask_logits(scores, mask: MaskArgs):
+    """Apply the mask to a (..., Sq, Skv) score tensor with the NEG_INF sentinel."""
+    allowed = allowed_mask(mask, scores.shape[-2], scores.shape[-1])
+    if allowed is None:
+        return scores
+    return jnp.where(allowed, scores, NEG_INF)

@@ -1,0 +1,78 @@
+"""Pure-jnp (XLA) block attention fwd/bwd with the flash (out, lse) contract.
+
+This is the portable backend: it computes the same quantities as the Pallas
+TPU kernels — fp32 accumulation, per-row log-sum-exp, NEG_INF sentinel
+masking — with O(Sq*Skv) memory, which is fine for the CPU-mesh tests and
+small shapes. Interface mirrors the reference's use of flash-attn's private
+entry points: fwd returns ``(out_f32, lse_f32)``
+(reference ring_flash_attn.py:53-58), bwd takes ``(dout, q, k, v, lse,
+delta)`` and returns per-block ``(dq, dk, dv)`` in fp32
+(reference ring_flash_attn.py:103-131; delta = rowsum(dout*out) is
+recomputed once by the caller instead of per flash-bwd call).
+
+Shapes (internal layout, MXU-friendly):
+  q:    (B, Hq,  Sq,  D)
+  k, v: (B, Hkv, Skv, D)   with Hq % Hkv == 0 (GQA)
+  out:  (B, Hq,  Sq,  D) fp32
+  lse:  (B, Hq,  Sq)     fp32
+"""
+
+import jax.numpy as jnp
+
+from .mask import MaskArgs, mask_logits
+
+
+def _grouped(q, hkv):
+    b, hq, sq, d = q.shape
+    return q.reshape(b, hkv, hq // hkv, sq, d)
+
+
+def naive_block_fwd(q, k, v, scale, mask: MaskArgs):
+    b, hq, sq, d = q.shape
+    hkv, skv = k.shape[1], k.shape[2]
+    qf = _grouped(q.astype(jnp.float32), hkv)
+    s = jnp.einsum(
+        "bhgqd,bhkd->bhgqk", qf, k.astype(jnp.float32),
+        preferred_element_type=jnp.float32,
+    ) * scale
+    s = mask_logits(s, mask)
+    m = jnp.max(s, axis=-1, keepdims=True)
+    p = jnp.exp(s - m)
+    l = jnp.sum(p, axis=-1, keepdims=True)
+    out = jnp.einsum(
+        "bhgqk,bhkd->bhgqd", p, v.astype(jnp.float32),
+        preferred_element_type=jnp.float32,
+    ) / l
+    lse = (m + jnp.log(l)).squeeze(-1)
+    return out.reshape(b, hq, sq, d), lse.reshape(b, hq, sq)
+
+
+def naive_block_bwd(dout, q, k, v, lse, delta, scale, mask: MaskArgs):
+    """Returns (dq, dk, dv) fp32; dk/dv already reduced over the GQA group.
+
+    p is recomputed from the *merged* lse (flash backward recomputation):
+    p = exp(q@k^T * scale - lse); dv = p^T dout; ds = p*(dp - delta)*scale;
+    dq = ds@k; dk = ds^T@q. Matches the per-block contract of
+    reference _flash_attn_backward (ring_flash_attn.py:103-131).
+    """
+    b, hq, sq, d = q.shape
+    hkv, skv = k.shape[1], k.shape[2]
+    g = hq // hkv
+    qf = _grouped(q.astype(jnp.float32), hkv)
+    doutf = _grouped(dout.astype(jnp.float32), hkv)
+    lsef = lse.astype(jnp.float32).reshape(b, hkv, g, sq, 1)
+    deltaf = delta.astype(jnp.float32).reshape(b, hkv, g, sq, 1)
+    kf = k.astype(jnp.float32)
+    vf = v.astype(jnp.float32)
+
+    s = jnp.einsum(
+        "bhgqd,bhkd->bhgqk", qf, kf, preferred_element_type=jnp.float32
+    ) * scale
+    s = mask_logits(s, mask)
+    p = jnp.exp(s - lsef)
+    dv = jnp.einsum("bhgqk,bhgqd->bhkd", p, doutf, preferred_element_type=jnp.float32)
+    dp = jnp.einsum("bhgqd,bhkd->bhgqk", doutf, vf, preferred_element_type=jnp.float32)
+    ds = p * (dp - deltaf) * scale
+    dq = jnp.einsum("bhgqk,bhkd->bhgqd", ds, kf, preferred_element_type=jnp.float32)
+    dk = jnp.einsum("bhgqk,bhgqd->bhkd", ds, qf, preferred_element_type=jnp.float32)
+    return dq.reshape(b, hq, sq, d), dk, dv
