@@ -19,7 +19,7 @@ Shapes (internal layout, MXU-friendly):
 
 import jax.numpy as jnp
 
-from .mask import MaskArgs, mask_logits
+from .mask import MaskArgs, NEG_INF, mask_logits
 
 
 def _grouped(q, hkv):
@@ -44,6 +44,12 @@ def naive_block_fwd(q, k, v, scale, mask: MaskArgs):
         preferred_element_type=jnp.float32,
     ) / l
     lse = (m + jnp.log(l)).squeeze(-1)
+    # Rows whose every key is masked ("dead" rows, e.g. stripe's shifted row
+    # 0) are normalized to out=0 / lse=NEG_INF so all backends agree bit-wise
+    # on a value that merge_partials treats as weight-zero.
+    dead = m <= NEG_INF / 2
+    out = jnp.where(dead, 0.0, out)
+    lse = jnp.where(dead.squeeze(-1), NEG_INF, lse)
     return out.reshape(b, hq, sq, d), lse.reshape(b, hq, sq)
 
 

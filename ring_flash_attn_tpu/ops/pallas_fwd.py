@@ -1,0 +1,365 @@
+"""Pallas TPU flash-attention forward kernel.
+
+This is the framework's L1 kernel — the role the external flash-attn CUDA
+`_flash_attn_forward` plays for the reference (reference ring_flash_attn.py:3,
+53-58). Contract upward: returns ``(out f32, lse f32)`` so schedules can
+merge partials across ring steps with fp32 LSE rescaling.
+
+Design (TPU-first):
+- Grid iterates (batch, q-head, q-block × kv-block); online-softmax state
+  (m, l, acc) lives in VMEM scratch and is flushed on each q-block's last
+  KV step.
+- For causal masks with a *static* diagonal offset the (q-block, kv-block)
+  pair space is enumerated **triangularly**: a scalar-prefetched pair->block
+  mapping drives the BlockSpec index maps, so blocks above the diagonal are
+  never fetched, never iterated — zero wasted grid steps (this is where the
+  reference's `step <= rank` causal skipping lives at kernel granularity,
+  reference ring_flash_attn.py:30).
+- For traced offsets (llama3's rank*L inside shard_map) the grid stays
+  rectangular but the kv index map clamps out-of-range blocks to the last
+  needed block (revisit = no DMA) and `pl.when` skips their compute.
+- GQA is expressed in the k/v BlockSpec index maps (q head -> kv head).
+- The causal mask pass itself runs only on diagonal-crossing blocks;
+  interior blocks take a mask-free fast path (VPU savings).
+- varlen is segment-ids + optional per-token positions (MaskArgs), masked
+  element-wise with the NEG_INF sentinel — same semantics as ops.naive.
+- softmax_scale is folded into q once in the wrapper (one fused HBM pass)
+  instead of a per-block VPU multiply.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .mask import MaskArgs, NEG_INF
+
+DEFAULT_BLOCK_Q = 1024
+DEFAULT_BLOCK_KV = 1024
+
+
+def _pick_block(s, preferred):
+    """Largest power-of-two block <= preferred that divides s."""
+    b = min(preferred, s)
+    while s % b != 0:
+        b //= 2
+    return max(b, 1)
+
+
+def _fwd_kernel(
+    # scalar prefetch
+    info_ref,  # (1,) int32: [offset]
+    iq_map_ref,  # (P,) int32: pair -> q block (triangular) or None-like
+    ikv_map_ref,  # (P,) int32: pair -> kv block
+    *refs,  # q, k, v, [qseg, kseg], [qpos, kpos], out, lse, m_s, l_s, acc_s
+    causal,
+    use_positions,
+    use_segments,
+    triangular,
+    static_offset,
+    blk_q,
+    blk_kv,
+    num_kv_blocks,
+):
+    it = iter(refs)
+    q_ref = next(it)  # (1, 1, blk_q, D)
+    k_ref = next(it)  # (1, 1, blk_kv, D)
+    v_ref = next(it)  # (1, 1, blk_kv, D)
+    qseg_ref = next(it) if use_segments else None  # (1, blk_q) int32
+    kseg_ref = next(it) if use_segments else None  # (1, blk_kv) int32
+    qpos_ref = next(it) if use_positions else None  # (1, blk_q) int32
+    kpos_ref = next(it) if use_positions else None  # (1, blk_kv) int32
+    out_ref = next(it)  # (1, 1, blk_q, D) f32
+    lse_ref = next(it)  # (1, 1, blk_q, 1) f32
+    m_s = next(it)  # (blk_q, 128) f32
+    l_s = next(it)  # (blk_q, 128) f32
+    acc_s = next(it)  # (blk_q, D) f32
+
+    if triangular:
+        p = pl.program_id(2)
+        iq = iq_map_ref[p]
+        ikv = ikv_map_ref[p]
+        # #kv blocks this q block needs (static offset => scalar arithmetic)
+        nkv_needed = jnp.clip(
+            ((iq + 1) * blk_q - 1 + static_offset) // blk_kv + 1,
+            1,
+            num_kv_blocks,
+        )
+        is_last = ikv == nkv_needed - 1
+        should_compute = True
+    else:
+        iq = pl.program_id(2)
+        ikv = pl.program_id(3)
+        is_last = ikv == num_kv_blocks - 1
+        if causal and not use_positions:
+            offset = info_ref[0]
+            last_needed = jnp.maximum(
+                ((iq + 1) * blk_q - 1 + offset) // blk_kv, 0
+            )
+            should_compute = ikv <= last_needed
+        else:
+            should_compute = True
+
+    @pl.when(ikv == 0)
+    def _init():
+        m_s[...] = jnp.full_like(m_s, NEG_INF)
+        l_s[...] = jnp.zeros_like(l_s)
+        acc_s[...] = jnp.zeros_like(acc_s)
+
+    def _allowed():
+        allowed = None
+        if causal:
+            if use_positions:
+                qp = qpos_ref[0, :].reshape(blk_q, 1)
+                kp = kpos_ref[0, :].reshape(1, blk_kv)
+                allowed = qp >= kp
+            else:
+                offset_ = info_ref[0]
+                rows = jax.lax.broadcasted_iota(jnp.int32, (blk_q, blk_kv), 0)
+                cols = jax.lax.broadcasted_iota(jnp.int32, (blk_q, blk_kv), 1)
+                allowed = (iq * blk_q + rows + offset_) >= (ikv * blk_kv + cols)
+        if use_segments:
+            qs = qseg_ref[0, :].reshape(blk_q, 1)
+            ks = kseg_ref[0, :].reshape(1, blk_kv)
+            seg = qs == ks
+            allowed = seg if allowed is None else (allowed & seg)
+        return allowed
+
+    def _logits():
+        # q arrives pre-scaled by softmax_scale. Feed the MXU its native
+        # input dtype (bf16 in, f32 accumulate); casting inputs to f32 first
+        # would quarter the matmul rate.
+        return jax.lax.dot_general(
+            q_ref[0, 0],
+            k_ref[0, 0],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (blk_q, blk_kv) f32
+
+    def _update(s):
+        """Online-softmax state update with block logits s (blk_q, blk_kv)."""
+        m_prev = m_s[:, :1]  # (blk_q, 1)
+        m_cur = jnp.max(s, axis=1, keepdims=True)
+        m_new = jnp.maximum(m_prev, m_cur)
+        alpha = jnp.exp(m_prev - m_new)
+        pr = jnp.exp(s - m_new)
+        l_new = l_s[:, :1] * alpha + jnp.sum(pr, axis=1, keepdims=True)
+        # pr is cast to the V dtype for the PV matmul (flash-attention's
+        # standard trick; the fp32 row statistics keep the result accurate).
+        acc_s[...] = acc_s[...] * alpha + jax.lax.dot_general(
+            pr.astype(v_ref.dtype),
+            v_ref[0, 0],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        m_s[...] = jnp.broadcast_to(m_new, m_s.shape)
+        l_s[...] = jnp.broadcast_to(l_new, l_s.shape)
+
+    if causal and not use_positions and not use_segments:
+        # Mask pass only on diagonal-crossing blocks; interior blocks take
+        # the mask-free path. pl.when predication (Mosaic branches poorly
+        # through lax.cond).
+        on_diag = (iq * blk_q + info_ref[0]) < ((ikv + 1) * blk_kv - 1)
+
+        @pl.when(should_compute & on_diag)
+        def _masked():
+            _update(jnp.where(_allowed(), _logits(), NEG_INF))
+
+        @pl.when(should_compute & jnp.logical_not(on_diag))
+        def _unmasked():
+            _update(_logits())
+
+    elif causal or use_segments:
+
+        @pl.when(should_compute)
+        def _compute():
+            _update(jnp.where(_allowed(), _logits(), NEG_INF))
+
+    else:
+
+        @pl.when(should_compute)
+        def _compute():
+            _update(_logits())
+
+    @pl.when(is_last)
+    def _flush():
+        l = l_s[:, :1]
+        # "Dead" rows (every key masked, m still at the sentinel) normalize
+        # to out=0 / lse=NEG_INF — identical across backends, weight-zero in
+        # merge_partials.
+        dead = jnp.logical_or(l == 0.0, m_s[:, :1] <= NEG_INF / 2)
+        l_safe = jnp.where(l == 0.0, 1.0, l)
+        out_ref[0, 0] = jnp.where(dead, 0.0, acc_s[...] / l_safe)
+        lse_ref[0, 0] = jnp.where(dead, NEG_INF, m_s[:, :1] + jnp.log(l_safe))
+
+
+def pallas_block_fwd(q, k, v, scale, mask: MaskArgs, interpret=False,
+                     blk_q=None, blk_kv=None):
+    """q (B,Hq,Sq,D), k/v (B,Hkv,Skv,D) -> (out f32 (B,Hq,Sq,D), lse f32 (B,Hq,Sq))."""
+    b, hq, sq, d = q.shape
+    _, hkv, skv, _ = k.shape
+    assert hq % hkv == 0, (hq, hkv)
+    group = hq // hkv
+
+    # Fold the softmax scale into q up front (fp32 multiply, cast back):
+    # one fused HBM pass over q vs. a VPU multiply over every logit block.
+    q = (q.astype(jnp.float32) * scale).astype(q.dtype)
+
+    blk_q = blk_q or _pick_block(sq, DEFAULT_BLOCK_Q)
+    blk_kv = blk_kv or _pick_block(skv, DEFAULT_BLOCK_KV)
+    n_q = sq // blk_q
+    n_kv = skv // blk_kv
+
+    causal = bool(mask.causal)
+    use_positions = mask.q_pos is not None
+    use_segments = mask.q_segids is not None
+    offset_static = (
+        mask.offset is None or isinstance(mask.offset, (int, np.integer))
+    )
+    static_offset = int(mask.offset or 0) if offset_static else 0
+    # Triangular pair enumeration needs the diagonal position at trace time.
+    triangular = causal and not use_positions and offset_static
+
+    if mask.offset is None:
+        offset = jnp.zeros((), jnp.int32)
+    else:
+        offset = jnp.asarray(mask.offset, jnp.int32)
+    info = offset.reshape(1)
+
+    if triangular:
+        pairs = []
+        for iq in range(n_q):
+            nkv_needed = min(
+                n_kv, max(1, ((iq + 1) * blk_q - 1 + static_offset) // blk_kv + 1)
+            )
+            pairs.extend((iq, ikv) for ikv in range(nkv_needed))
+        iq_map = jnp.asarray([p[0] for p in pairs], jnp.int32)
+        ikv_map = jnp.asarray([p[1] for p in pairs], jnp.int32)
+        grid = (b, hq, len(pairs))
+
+        def _iq(qi, ki, iq_map_ref):
+            del ki
+            return iq_map_ref[qi]
+
+        def q_index(bi, hi, p, info_ref, iq_map_ref, ikv_map_ref):
+            return (bi, hi, iq_map_ref[p], 0)
+
+        def kv_index(bi, hi, p, info_ref, iq_map_ref, ikv_map_ref):
+            return (bi, hi // group, ikv_map_ref[p], 0)
+
+        def qvec_index(bi, hi, p, info_ref, iq_map_ref, ikv_map_ref):
+            return (0, iq_map_ref[p])
+
+        def kvec_index(bi, hi, p, info_ref, iq_map_ref, ikv_map_ref):
+            return (0, ikv_map_ref[p])
+
+        def out_index(bi, hi, p, info_ref, iq_map_ref, ikv_map_ref):
+            return (bi, hi, iq_map_ref[p], 0)
+
+        def lse_index(bi, hi, p, info_ref, iq_map_ref, ikv_map_ref):
+            return (bi, hi, iq_map_ref[p], 0)
+
+        dim_semantics = ("parallel", "parallel", "arbitrary")
+    else:
+        iq_map = jnp.zeros((1,), jnp.int32)  # unused
+        ikv_map = jnp.zeros((1,), jnp.int32)
+        grid = (b, hq, n_q, n_kv)
+
+        def q_index(bi, hi, qi, ki, info_ref, iq_map_ref, ikv_map_ref):
+            return (bi, hi, qi, 0)
+
+        def _clamp_kv(qi, ki, info_ref):
+            if causal and not use_positions:
+                # out-of-diagonal steps revisit the last in-range block: no
+                # DMA is issued for blocks the causal mask fully excludes.
+                last_needed = jnp.maximum(
+                    ((qi + 1) * blk_q - 1 + info_ref[0]) // blk_kv, 0
+                )
+                ki = jnp.minimum(ki, jnp.minimum(last_needed, n_kv - 1))
+            return ki
+
+        def kv_index(bi, hi, qi, ki, info_ref, iq_map_ref, ikv_map_ref):
+            return (bi, hi // group, _clamp_kv(qi, ki, info_ref), 0)
+
+        def qvec_index(bi, hi, qi, ki, info_ref, iq_map_ref, ikv_map_ref):
+            return (0, qi)
+
+        def kvec_index(bi, hi, qi, ki, info_ref, iq_map_ref, ikv_map_ref):
+            return (0, _clamp_kv(qi, ki, info_ref))
+
+        def out_index(bi, hi, qi, ki, info_ref, iq_map_ref, ikv_map_ref):
+            return (bi, hi, qi, 0)
+
+        def lse_index(bi, hi, qi, ki, info_ref, iq_map_ref, ikv_map_ref):
+            return (bi, hi, qi, 0)
+
+        dim_semantics = ("parallel", "parallel", "parallel", "arbitrary")
+
+    in_specs = [
+        pl.BlockSpec((1, 1, blk_q, d), q_index, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, blk_kv, d), kv_index, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, blk_kv, d), kv_index, memory_space=pltpu.VMEM),
+    ]
+    inputs = [q, k, v]
+
+    def _vec(x, blk, idx_fn):
+        if x is not None:
+            in_specs.append(
+                pl.BlockSpec((1, blk), idx_fn, memory_space=pltpu.VMEM)
+            )
+            inputs.append(jnp.asarray(x, jnp.int32).reshape(1, -1))
+
+    _vec(mask.q_segids if use_segments else None, blk_q, qvec_index)
+    _vec(mask.kv_segids if use_segments else None, blk_kv, kvec_index)
+    _vec(mask.q_pos if use_positions else None, blk_q, qvec_index)
+    _vec(mask.kv_pos if use_positions else None, blk_kv, kvec_index)
+
+    kernel = functools.partial(
+        _fwd_kernel,
+        causal=causal,
+        use_positions=use_positions,
+        use_segments=use_segments,
+        triangular=triangular,
+        static_offset=static_offset,
+        blk_q=blk_q,
+        blk_kv=blk_kv,
+        num_kv_blocks=n_kv,
+    )
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=[
+            pl.BlockSpec((1, 1, blk_q, d), out_index, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, blk_q, 1), lse_index, memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((blk_q, 128), jnp.float32),
+            pltpu.VMEM((blk_q, 128), jnp.float32),
+            pltpu.VMEM((blk_q, d), jnp.float32),
+        ],
+    )
+
+    out, lse = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((b, hq, sq, d), jnp.float32),
+            jax.ShapeDtypeStruct((b, hq, sq, 1), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=dim_semantics,
+        ),
+        cost_estimate=pl.CostEstimate(
+            flops=int(4 * sq * skv * hq * d * (0.5 if causal else 1.0)),
+            bytes_accessed=(q.size + k.size + v.size) * q.dtype.itemsize
+            + b * hq * sq * d * 4,
+            transcendentals=b * hq * sq * skv,
+        ),
+        interpret=interpret,
+    )(info, iq_map, ikv_map, *inputs)
+    return out, lse.squeeze(-1)
