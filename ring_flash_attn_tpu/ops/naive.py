@@ -66,6 +66,10 @@ def naive_block_bwd(dout, q, k, v, lse, delta, scale, mask: MaskArgs):
     g = hq // hkv
     qf = _grouped(q.astype(jnp.float32), hkv)
     doutf = _grouped(dout.astype(jnp.float32), hkv)
+    # Dead rows carry lse = NEG_INF; clamping to NEG_INF/2 makes
+    # p = exp(NEG_INF - NEG_INF/2) underflow to 0 so they contribute no
+    # gradient (instead of exp(0)=1 garbage). Live rows are unaffected.
+    lse = jnp.maximum(lse, NEG_INF / 2)
     lsef = lse.astype(jnp.float32).reshape(b, hkv, g, sq, 1)
     deltaf = delta.astype(jnp.float32).reshape(b, hkv, g, sq, 1)
     kf = k.astype(jnp.float32)

@@ -1,0 +1,568 @@
+"""Pallas TPU flash-attention backward kernels.
+
+The L1 backward boundary — the role flash-attn's `_flash_attn_backward`
+plays for the reference (reference ring_flash_attn.py:103-131): given
+(dout, q, k, v, lse, delta) produce per-block (dq, dk, dv).
+
+TPU-first split into two atomics-free kernels (dq iterates KV inside a
+q-block; dk/dv iterate q inside a KV-block), each accumulating in VMEM
+scratch — the standard TPU decomposition (no scatter/atomics on TPU):
+
+  dq kernel   grid (B, Hq, q-block x kv-block):
+      p' = exp(s - (lse - log scale)) = p * scale
+      dp = dout @ v^T ;  ds' = p' * (dp - delta) ;  dq += ds' @ k
+  dkv kernel  grid (B, Hkv, kv-block x (group x q-block)):
+      (transposed orientation, GQA group accumulated in-kernel)
+      s^T = k @ qs^T ;  p^T = exp(s^T - lse)
+      dv += p^T @ dout ;  dp^T = v @ dout^T
+      ds^T = p^T * (dp^T - delta) ;  dk += ds^T @ qs
+
+The softmax scale is folded into q (qs = q*scale) for the logits; the dq
+kernel additionally folds the scale needed by ds into the LSE
+(lse' = lse - log scale), so no full-tensor scale passes remain. See
+pallas_fwd.py for the triangular causal grid and mask-mode notes shared
+with the forward kernel.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .mask import MaskArgs, NEG_INF
+from .pallas_fwd import _pick_block
+
+DEFAULT_BLOCK_Q = 512
+DEFAULT_BLOCK_KV = 512
+
+
+def _offset_info(mask):
+    offset_static = (
+        mask.offset is None or isinstance(mask.offset, (int, np.integer))
+    )
+    static_offset = int(mask.offset or 0) if offset_static else 0
+    if mask.offset is None:
+        offset = jnp.zeros((), jnp.int32)
+    else:
+        offset = jnp.asarray(mask.offset, jnp.int32)
+    return offset.reshape(1), offset_static, static_offset
+
+
+# ---------------------------------------------------------------------------
+# dq kernel
+# ---------------------------------------------------------------------------
+
+
+def _dq_kernel(
+    info_ref,
+    iq_map_ref,
+    ikv_map_ref,
+    *refs,
+    causal,
+    use_positions,
+    use_segments,
+    triangular,
+    static_offset,
+    blk_q,
+    blk_kv,
+    num_kv_blocks,
+):
+    it = iter(refs)
+    qs_ref = next(it)  # (1, 1, blk_q, D) pre-scaled q
+    k_ref = next(it)  # (1, 1, blk_kv, D)
+    v_ref = next(it)  # (1, 1, blk_kv, D)
+    dout_ref = next(it)  # (1, 1, blk_q, D)
+    lse_ref = next(it)  # (1, 1, blk_q, 1) f32 (already shifted by -log scale)
+    delta_ref = next(it)  # (1, 1, blk_q, 1) f32
+    qseg_ref = next(it) if use_segments else None
+    kseg_ref = next(it) if use_segments else None
+    qpos_ref = next(it) if use_positions else None
+    kpos_ref = next(it) if use_positions else None
+    dq_ref = next(it)  # (1, 1, blk_q, D) f32
+    dq_s = next(it)  # (blk_q, D) f32
+
+    if triangular:
+        p = pl.program_id(2)
+        iq = iq_map_ref[p]
+        ikv = ikv_map_ref[p]
+        nkv_needed = jnp.clip(
+            ((iq + 1) * blk_q - 1 + static_offset) // blk_kv + 1,
+            1,
+            num_kv_blocks,
+        )
+        is_last = ikv == nkv_needed - 1
+        should_compute = True
+    else:
+        iq = pl.program_id(2)
+        ikv = pl.program_id(3)
+        is_last = ikv == num_kv_blocks - 1
+        if causal and not use_positions:
+            last_needed = jnp.maximum(
+                ((iq + 1) * blk_q - 1 + info_ref[0]) // blk_kv, 0
+            )
+            should_compute = ikv <= last_needed
+        else:
+            should_compute = True
+
+    @pl.when(ikv == 0)
+    def _init():
+        dq_s[...] = jnp.zeros_like(dq_s)
+
+    def _allowed():
+        allowed = None
+        if causal:
+            if use_positions:
+                qp = qpos_ref[0, :].reshape(blk_q, 1)
+                kp = kpos_ref[0, :].reshape(1, blk_kv)
+                allowed = qp >= kp
+            else:
+                offset_ = info_ref[0]
+                rows = jax.lax.broadcasted_iota(jnp.int32, (blk_q, blk_kv), 0)
+                cols = jax.lax.broadcasted_iota(jnp.int32, (blk_q, blk_kv), 1)
+                allowed = (iq * blk_q + rows + offset_) >= (ikv * blk_kv + cols)
+        if use_segments:
+            qs_ = qseg_ref[0, :].reshape(blk_q, 1)
+            ks_ = kseg_ref[0, :].reshape(1, blk_kv)
+            seg = qs_ == ks_
+            allowed = seg if allowed is None else (allowed & seg)
+        return allowed
+
+    def _body(masked):
+        s = jax.lax.dot_general(
+            qs_ref[0, 0],
+            k_ref[0, 0],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (blk_q, blk_kv) true logits (scale folded into qs)
+        if masked:
+            s = jnp.where(_allowed(), s, NEG_INF)
+        pr = jnp.exp(s - lse_ref[0, 0])  # = p * scale (lse shifted)
+        dp = jax.lax.dot_general(
+            dout_ref[0, 0],
+            v_ref[0, 0],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        ds = pr * (dp - delta_ref[0, 0])
+        dq_s[...] += jax.lax.dot_general(
+            ds.astype(k_ref.dtype),
+            k_ref[0, 0],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    if causal and not use_positions and not use_segments:
+        on_diag = (iq * blk_q + info_ref[0]) < ((ikv + 1) * blk_kv - 1)
+
+        @pl.when(should_compute & on_diag)
+        def _masked():
+            _body(True)
+
+        @pl.when(should_compute & jnp.logical_not(on_diag))
+        def _unmasked():
+            _body(False)
+
+    else:
+
+        @pl.when(should_compute)
+        def _compute():
+            _body(causal or use_segments)
+
+    @pl.when(is_last)
+    def _flush():
+        dq_ref[0, 0] = dq_s[...]
+
+
+# ---------------------------------------------------------------------------
+# dkv kernel
+# ---------------------------------------------------------------------------
+
+
+def _dkv_kernel(
+    info_ref,
+    g_map_ref,  # (P,) pair -> GQA group member
+    iq_map_ref,  # (P,) pair -> q block
+    ikv_map_ref,  # (P,) pair -> kv block
+    first_map_ref,  # (P,) 1 iff first pair of this kv block
+    last_map_ref,  # (P,) 1 iff last pair of this kv block
+    *refs,
+    causal,
+    use_positions,
+    use_segments,
+    blk_q,
+    blk_kv,
+):
+    it = iter(refs)
+    qs_ref = next(it)  # (1, 1, blk_q, D) pre-scaled q (head = hkv*G + g)
+    k_ref = next(it)  # (1, 1, blk_kv, D)
+    v_ref = next(it)  # (1, 1, blk_kv, D)
+    dout_ref = next(it)  # (1, 1, blk_q, D)
+    lse_ref = next(it)  # (1, 1, blk_q, 1) f32
+    delta_ref = next(it)  # (1, 1, blk_q, 1) f32
+    qseg_ref = next(it) if use_segments else None
+    kseg_ref = next(it) if use_segments else None
+    qpos_ref = next(it) if use_positions else None
+    kpos_ref = next(it) if use_positions else None
+    dk_ref = next(it)  # (1, 1, blk_kv, D) f32
+    dv_ref = next(it)  # (1, 1, blk_kv, D) f32
+    dk_s = next(it)  # (blk_kv, D) f32
+    dv_s = next(it)  # (blk_kv, D) f32
+
+    p = pl.program_id(2)
+    iq = iq_map_ref[p]
+    ikv = ikv_map_ref[p]
+
+    @pl.when(first_map_ref[p] == 1)
+    def _init():
+        dk_s[...] = jnp.zeros_like(dk_s)
+        dv_s[...] = jnp.zeros_like(dv_s)
+
+    def _allowed_t():
+        """(blk_kv, blk_q) transposed mask."""
+        allowed = None
+        if causal:
+            if use_positions:
+                qp = qpos_ref[0, :].reshape(1, blk_q)
+                kp = kpos_ref[0, :].reshape(blk_kv, 1)
+                allowed = qp >= kp
+            else:
+                offset_ = info_ref[0]
+                cols = jax.lax.broadcasted_iota(jnp.int32, (blk_kv, blk_q), 1)
+                rows = jax.lax.broadcasted_iota(jnp.int32, (blk_kv, blk_q), 0)
+                allowed = (iq * blk_q + cols + offset_) >= (ikv * blk_kv + rows)
+        if use_segments:
+            qs_ = qseg_ref[0, :].reshape(1, blk_q)
+            ks_ = kseg_ref[0, :].reshape(blk_kv, 1)
+            seg = qs_ == ks_
+            allowed = seg if allowed is None else (allowed & seg)
+        return allowed
+
+    def _body(masked):
+        s_t = jax.lax.dot_general(
+            k_ref[0, 0],
+            qs_ref[0, 0],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (blk_kv, blk_q) true logits^T
+        if masked:
+            s_t = jnp.where(_allowed_t(), s_t, NEG_INF)
+        p_t = jnp.exp(s_t - lse_ref[0, 0].reshape(1, blk_q))
+        dv_s[...] += jax.lax.dot_general(
+            p_t.astype(dout_ref.dtype),
+            dout_ref[0, 0],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dp_t = jax.lax.dot_general(
+            v_ref[0, 0],
+            dout_ref[0, 0],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        ds_t = p_t * (dp_t - delta_ref[0, 0].reshape(1, blk_q))
+        dk_s[...] += jax.lax.dot_general(
+            ds_t.astype(qs_ref.dtype),
+            qs_ref[0, 0],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    if causal and not use_positions and not use_segments:
+        on_diag = (iq * blk_q + info_ref[0]) < ((ikv + 1) * blk_kv - 1)
+
+        @pl.when(on_diag)
+        def _masked():
+            _body(True)
+
+        @pl.when(jnp.logical_not(on_diag))
+        def _unmasked():
+            _body(False)
+
+    else:
+        _body(causal or use_segments)
+
+    @pl.when(last_map_ref[p] == 1)
+    def _flush():
+        dk_ref[0, 0] = dk_s[...]
+        dv_ref[0, 0] = dv_s[...]
+
+
+# ---------------------------------------------------------------------------
+# Wrappers
+# ---------------------------------------------------------------------------
+
+
+def _triangular_pairs(n_q, n_kv, blk_q, blk_kv, static_offset):
+    pairs = []
+    for iq in range(n_q):
+        nkv_needed = min(
+            n_kv, max(1, ((iq + 1) * blk_q - 1 + static_offset) // blk_kv + 1)
+        )
+        pairs.extend((iq, ikv) for ikv in range(nkv_needed))
+    return pairs
+
+
+def _dq(dout, qs, k, v, lse_adj, delta, mask, blk_q, blk_kv, interpret):
+    b, hq, sq, d = qs.shape
+    _, hkv, skv, _ = k.shape
+    group = hq // hkv
+    n_q, n_kv = sq // blk_q, skv // blk_kv
+
+    causal = bool(mask.causal)
+    use_positions = mask.q_pos is not None
+    use_segments = mask.q_segids is not None
+    info, offset_static, static_offset = _offset_info(mask)
+    triangular = causal and not use_positions and offset_static
+
+    if triangular:
+        pairs = _triangular_pairs(n_q, n_kv, blk_q, blk_kv, static_offset)
+        iq_map = jnp.asarray([x[0] for x in pairs], jnp.int32)
+        ikv_map = jnp.asarray([x[1] for x in pairs], jnp.int32)
+        grid = (b, hq, len(pairs))
+
+        def qi_of(p, iq_map_ref):
+            return iq_map_ref[p]
+
+        def q_index(bi, hi, p, info_ref, iqm, ikvm):
+            return (bi, hi, iqm[p], 0)
+
+        def kv_index(bi, hi, p, info_ref, iqm, ikvm):
+            return (bi, hi // group, ikvm[p], 0)
+
+        def lse_index(bi, hi, p, info_ref, iqm, ikvm):
+            return (bi, hi, iqm[p], 0)
+
+        def qvec_index(bi, hi, p, info_ref, iqm, ikvm):
+            return (0, iqm[p])
+
+        def kvec_index(bi, hi, p, info_ref, iqm, ikvm):
+            return (0, ikvm[p])
+
+        dim_semantics = ("parallel", "parallel", "arbitrary")
+    else:
+        iq_map = jnp.zeros((1,), jnp.int32)
+        ikv_map = jnp.zeros((1,), jnp.int32)
+        grid = (b, hq, n_q, n_kv)
+
+        def _clamp_kv(qi, ki, info_ref):
+            if causal and not use_positions:
+                last_needed = jnp.maximum(
+                    ((qi + 1) * blk_q - 1 + info_ref[0]) // blk_kv, 0
+                )
+                ki = jnp.minimum(ki, jnp.minimum(last_needed, n_kv - 1))
+            return ki
+
+        def q_index(bi, hi, qi, ki, info_ref, iqm, ikvm):
+            return (bi, hi, qi, 0)
+
+        def kv_index(bi, hi, qi, ki, info_ref, iqm, ikvm):
+            return (bi, hi // group, _clamp_kv(qi, ki, info_ref), 0)
+
+        def lse_index(bi, hi, qi, ki, info_ref, iqm, ikvm):
+            return (bi, hi, qi, 0)
+
+        def qvec_index(bi, hi, qi, ki, info_ref, iqm, ikvm):
+            return (0, qi)
+
+        def kvec_index(bi, hi, qi, ki, info_ref, iqm, ikvm):
+            return (0, _clamp_kv(qi, ki, info_ref))
+
+        dim_semantics = ("parallel", "parallel", "parallel", "arbitrary")
+
+    in_specs = [
+        pl.BlockSpec((1, 1, blk_q, d), q_index, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, blk_kv, d), kv_index, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, blk_kv, d), kv_index, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, blk_q, d), q_index, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, blk_q, 1), lse_index, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, blk_q, 1), lse_index, memory_space=pltpu.VMEM),
+    ]
+    inputs = [qs, k, v, dout, lse_adj, delta]
+
+    def _vec(x, blk, idx_fn):
+        if x is not None:
+            in_specs.append(
+                pl.BlockSpec((1, blk), idx_fn, memory_space=pltpu.VMEM)
+            )
+            inputs.append(jnp.asarray(x, jnp.int32).reshape(1, -1))
+
+    _vec(mask.q_segids if use_segments else None, blk_q, qvec_index)
+    _vec(mask.kv_segids if use_segments else None, blk_kv, kvec_index)
+    _vec(mask.q_pos if use_positions else None, blk_q, qvec_index)
+    _vec(mask.kv_pos if use_positions else None, blk_kv, kvec_index)
+
+    kernel = functools.partial(
+        _dq_kernel,
+        causal=causal,
+        use_positions=use_positions,
+        use_segments=use_segments,
+        triangular=triangular,
+        static_offset=static_offset,
+        blk_q=blk_q,
+        blk_kv=blk_kv,
+        num_kv_blocks=n_kv,
+    )
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=[
+            pl.BlockSpec((1, 1, blk_q, d), q_index, memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[pltpu.VMEM((blk_q, d), jnp.float32)],
+    )
+
+    (dq,) = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[jax.ShapeDtypeStruct((b, hq, sq, d), jnp.float32)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=dim_semantics,
+        ),
+        interpret=interpret,
+    )(info, iq_map, ikv_map, *inputs)
+    return dq
+
+
+def _dkv(dout, qs, k, v, lse, delta, mask, blk_q, blk_kv, interpret):
+    b, hq, sq, d = qs.shape
+    _, hkv, skv, _ = k.shape
+    group = hq // hkv
+    n_q, n_kv = sq // blk_q, skv // blk_kv
+
+    causal = bool(mask.causal)
+    use_positions = mask.q_pos is not None
+    use_segments = mask.q_segids is not None
+    info, offset_static, static_offset = _offset_info(mask)
+    # Pair enumeration (kv-major); causal+static-offset skips q blocks
+    # entirely above the diagonal.
+    pairs = []  # (g, iq, ikv)
+    for ikv in range(n_kv):
+        if causal and not use_positions and offset_static:
+            # need (iq+1)*blk_q - 1 + offset >= ikv*blk_kv
+            lo = ikv * blk_kv - static_offset + 1 - blk_q
+            first_iq = min(n_q - 1, max(0, -((-lo) // blk_q)))
+        else:
+            first_iq = 0
+        for g in range(group):
+            pairs.extend((g, iq, ikv) for iq in range(first_iq, n_q))
+    g_map = jnp.asarray([x[0] for x in pairs], jnp.int32)
+    iq_map = jnp.asarray([x[1] for x in pairs], jnp.int32)
+    ikv_map = jnp.asarray([x[2] for x in pairs], jnp.int32)
+    first = np.zeros(len(pairs), np.int32)
+    last = np.zeros(len(pairs), np.int32)
+    prev_kv = None
+    for i, (g, iq, ikv) in enumerate(pairs):
+        if ikv != prev_kv:
+            first[i] = 1
+            if i > 0:
+                last[i - 1] = 1
+            prev_kv = ikv
+    last[-1] = 1
+    first_map = jnp.asarray(first)
+    last_map = jnp.asarray(last)
+
+    grid = (b, hkv, len(pairs))
+
+    def q_index(bi, hk, p, info_ref, gm, iqm, ikvm, fm, lm):
+        return (bi, hk * group + gm[p], iqm[p], 0)
+
+    def kv_index(bi, hk, p, info_ref, gm, iqm, ikvm, fm, lm):
+        return (bi, hk, ikvm[p], 0)
+
+    def lse_index(bi, hk, p, info_ref, gm, iqm, ikvm, fm, lm):
+        return (bi, hk * group + gm[p], iqm[p], 0)
+
+    def qvec_index(bi, hk, p, info_ref, gm, iqm, ikvm, fm, lm):
+        return (0, iqm[p])
+
+    def kvec_index(bi, hk, p, info_ref, gm, iqm, ikvm, fm, lm):
+        return (0, ikvm[p])
+
+    in_specs = [
+        pl.BlockSpec((1, 1, blk_q, d), q_index, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, blk_kv, d), kv_index, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, blk_kv, d), kv_index, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, blk_q, d), q_index, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, blk_q, 1), lse_index, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, blk_q, 1), lse_index, memory_space=pltpu.VMEM),
+    ]
+    inputs = [qs, k, v, dout, lse, delta]
+
+    def _vec(x, blk, idx_fn):
+        if x is not None:
+            in_specs.append(
+                pl.BlockSpec((1, blk), idx_fn, memory_space=pltpu.VMEM)
+            )
+            inputs.append(jnp.asarray(x, jnp.int32).reshape(1, -1))
+
+    _vec(mask.q_segids if use_segments else None, blk_q, qvec_index)
+    _vec(mask.kv_segids if use_segments else None, blk_kv, kvec_index)
+    _vec(mask.q_pos if use_positions else None, blk_q, qvec_index)
+    _vec(mask.kv_pos if use_positions else None, blk_kv, kvec_index)
+
+    kernel = functools.partial(
+        _dkv_kernel,
+        causal=causal,
+        use_positions=use_positions,
+        use_segments=use_segments,
+        blk_q=blk_q,
+        blk_kv=blk_kv,
+    )
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=6,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=[
+            pl.BlockSpec((1, 1, blk_kv, d), kv_index, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, blk_kv, d), kv_index, memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((blk_kv, d), jnp.float32),
+            pltpu.VMEM((blk_kv, d), jnp.float32),
+        ],
+    )
+
+    dk, dv = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((b, hkv, skv, d), jnp.float32),
+            jax.ShapeDtypeStruct((b, hkv, skv, d), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+        ),
+        interpret=interpret,
+    )(info, g_map, iq_map, ikv_map, first_map, last_map, *inputs)
+    return dk, dv
+
+
+def pallas_block_bwd(dout, q, k, v, lse, delta, scale, mask: MaskArgs,
+                     interpret=False, blk_q=None, blk_kv=None):
+    """Block backward. Returns (dq, dk, dv) fp32; dk/dv per KV head.
+
+    lse/delta: (B, Hq, Sq) fp32 from the (merged) forward.
+    """
+    b, hq, sq, d = q.shape
+    skv = k.shape[2]
+    blk_q = blk_q or _pick_block(sq, DEFAULT_BLOCK_Q)
+    blk_kv = blk_kv or _pick_block(skv, DEFAULT_BLOCK_KV)
+
+    qs = (q.astype(jnp.float32) * scale).astype(q.dtype)
+    # Dead rows carry lse = NEG_INF; clamp to NEG_INF/2 so masked logits give
+    # p = exp(NEG_INF - NEG_INF/2) -> 0 instead of exp(0) = 1 garbage.
+    lse = jnp.maximum(lse, NEG_INF / 2)
+    lse4 = lse.astype(jnp.float32)[..., None]
+    delta4 = delta.astype(jnp.float32)[..., None]
+    # dq kernel: fold the ds scale into the LSE (p' = p * scale).
+    lse_adj = lse4 - jnp.log(jnp.float32(scale))
+
+    dq = _dq(dout, qs, k, v, lse_adj, delta4, mask, blk_q, blk_kv, interpret)
+    dk, dv = _dkv(dout, qs, k, v, lse4, delta4, mask, blk_q, blk_kv, interpret)
+    return dq, dk, dv
