@@ -1,0 +1,25 @@
+from .mesh import ring_rotate, ring_size, ring_rank
+from .ring import ring_attention
+from .zigzag import zigzag_ring_attention
+from .stripe import stripe_attention
+from .layouts import (
+    extract_local_contiguous,
+    extract_local_zigzag,
+    extract_local_stripe,
+    zigzag_position_ids,
+    stripe_position_ids,
+)
+
+__all__ = [
+    "ring_rotate",
+    "ring_size",
+    "ring_rank",
+    "ring_attention",
+    "zigzag_ring_attention",
+    "stripe_attention",
+    "extract_local_contiguous",
+    "extract_local_zigzag",
+    "extract_local_stripe",
+    "zigzag_position_ids",
+    "stripe_position_ids",
+]
