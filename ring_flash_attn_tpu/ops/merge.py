@@ -31,5 +31,11 @@ def merge_partials(out, lse, block_out, block_lse):
         return block_out.astype(jnp.float32), block_lse.astype(jnp.float32)
     w = jax.nn.sigmoid(block_lse - lse)[..., None]
     new_out = out - w * (out - block_out)
-    new_lse = lse - jax.nn.log_sigmoid(lse - block_lse)
+    # log(e^a + e^b) in max/log1p form: the reference's a - logsigmoid(a-b)
+    # (utils.py:48) catastrophically cancels when a is the NEG_INF sentinel
+    # (dead partial) and b is finite; max(a,b) + log1p(e^-|a-b|) is exact in
+    # every regime.
+    new_lse = jnp.maximum(lse, block_lse) + jnp.log1p(
+        jnp.exp(-jnp.abs(lse - block_lse))
+    )
     return new_out, new_lse
