@@ -1,0 +1,95 @@
+"""Varlen (packed-sequence) metadata: cu_seqlens <-> segment ids/positions.
+
+The reference threads flash-attn `cu_seqlens` through every varlen schedule
+(reference ring_flash_attn_varlen.py:56-59). The TPU-native formulation is
+segment ids + per-token positions (static shapes, kernel-friendly masks);
+these helpers convert. All functions are jnp-traceable so they work under
+jit with traced cu_seqlens; shapes depend only on the static packed total.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def cu_seqlens_to_segids(cu_seqlens, total):
+    """Segment index per packed token. cu_seqlens (N+1,) int32, ascending,
+    cu_seqlens[-1] == total."""
+    t = jnp.arange(total, dtype=jnp.int32)
+    cu = jnp.asarray(cu_seqlens, jnp.int32)
+    return (jnp.searchsorted(cu, t, side="right") - 1).astype(jnp.int32)
+
+
+def cu_seqlens_to_positions(cu_seqlens, total):
+    """Position of each packed token within its own sequence."""
+    cu = jnp.asarray(cu_seqlens, jnp.int32)
+    seg = cu_seqlens_to_segids(cu, total)
+    return jnp.arange(total, dtype=jnp.int32) - cu[seg]
+
+
+def ring_varlen_info(cu_seqlens_local, total_local, rank):
+    """(segids, positions) for the ring-varlen layout.
+
+    Layout (reference test/test_ring_flash_attn_varlen_func.py:9-15): every
+    sequence is split into W contiguous parts; rank r packs part r of every
+    sequence, so the local cu_seqlens = global // W is identical on all
+    ranks. positions are within-sequence and globally comparable:
+    rank r's part of sequence i covers positions [r*li, (r+1)*li).
+    """
+    cu = jnp.asarray(cu_seqlens_local, jnp.int32)
+    seg = cu_seqlens_to_segids(cu, total_local)
+    lens = cu[seg + 1] - cu[seg]
+    local_pos = jnp.arange(total_local, dtype=jnp.int32) - cu[seg]
+    return seg, rank * lens + local_pos
+
+
+def zigzag_varlen_info(cu_seqlens_local, total_local, rank, world):
+    """(segids, positions) for the *grouped* zigzag-varlen layout.
+
+    TPU-first layout (differs from the reference's per-sequence interleave,
+    reference zigzag_ring_flash_attn_varlen.py:24-39, which needs dynamic
+    half-index gathers): every sequence splits into 2W chunks; rank r packs
+    [chunk r of every sequence] ++ [chunk 2W-1-r of every sequence]. The
+    received KV's "first half" is then the static slice [:T/2] — no gather.
+    cu_seqlens_local here is the per-HALF cu_seqlens = global // (2W).
+    """
+    half = total_local // 2
+    cu = jnp.asarray(cu_seqlens_local, jnp.int32)
+    seg = cu_seqlens_to_segids(cu, half)
+    lens = cu[seg + 1] - cu[seg]  # chunk length of this token's sequence
+    off = jnp.arange(half, dtype=jnp.int32) - cu[seg]
+    pos_front = rank * lens + off
+    pos_back = (2 * world - 1 - rank) * lens + off
+    segids = jnp.concatenate([seg, seg])
+    positions = jnp.concatenate([pos_front, pos_back])
+    return segids, positions
+
+
+# ---------------------------------------------------------------------------
+# Host-side (numpy) layout transforms for tests / data pipelines
+# ---------------------------------------------------------------------------
+
+
+def extract_local_ring_varlen(x, cu_seqlens, rank, world, axis=0):
+    """Part r of every sequence, packed (reference test layout)."""
+    cu = np.asarray(cu_seqlens)
+    parts = []
+    for i in range(len(cu) - 1):
+        seq = np.take(x, np.arange(cu[i], cu[i + 1]), axis=axis)
+        li = (cu[i + 1] - cu[i]) // world
+        parts.append(np.take(seq, np.arange(rank * li, (rank + 1) * li), axis=axis))
+    return np.concatenate(parts, axis=axis)
+
+
+def extract_local_zigzag_varlen(x, cu_seqlens, rank, world, axis=0):
+    """Grouped zigzag layout: chunks r of all seqs ++ chunks 2W-1-r."""
+    cu = np.asarray(cu_seqlens)
+    front, back = [], []
+    for i in range(len(cu) - 1):
+        seq = np.take(x, np.arange(cu[i], cu[i + 1]), axis=axis)
+        ci = (cu[i + 1] - cu[i]) // (2 * world)
+        front.append(
+            np.take(seq, np.arange(rank * ci, (rank + 1) * ci), axis=axis)
+        )
+        j = 2 * world - 1 - rank
+        back.append(np.take(seq, np.arange(j * ci, (j + 1) * ci), axis=axis))
+    return np.concatenate(front + back, axis=axis)

@@ -2,6 +2,7 @@ from .mesh import ring_rotate, ring_size, ring_rank
 from .ring import ring_attention
 from .zigzag import zigzag_ring_attention
 from .stripe import stripe_attention
+from .llama3 import llama3_attention
 from .layouts import (
     extract_local_contiguous,
     extract_local_zigzag,
@@ -17,6 +18,7 @@ __all__ = [
     "ring_attention",
     "zigzag_ring_attention",
     "stripe_attention",
+    "llama3_attention",
     "extract_local_contiguous",
     "extract_local_zigzag",
     "extract_local_stripe",
