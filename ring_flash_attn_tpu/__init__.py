@@ -14,12 +14,16 @@ Public API mirrors the reference's 18 attention entry points
 
 __version__ = "0.1.0"
 
-# Full public API re-exports are installed by api.py as it lands; during the
-# incremental build, import submodules directly.
-try:  # pragma: no cover
-    from .api import *  # noqa: F401,F403
-    from .api import __all__ as _api_all
+from .api import *  # noqa: F401,F403
+from .api import __all__ as _api_all
+from .adapters import (  # noqa: F401
+    substitute_hf_flash_attn,
+    update_ring_flash_attn_params,
+    use_ring_attn,
+)
 
-    __all__ = list(_api_all)
-except ImportError:  # api layer not built yet
-    __all__ = []
+__all__ = list(_api_all) + [
+    "substitute_hf_flash_attn",
+    "update_ring_flash_attn_params",
+    "use_ring_attn",
+]

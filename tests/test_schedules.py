@@ -13,7 +13,7 @@ import jax
 import jax.numpy as jnp
 import pytest
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from ring_flash_attn_tpu.parallel import layouts
 from ring_flash_attn_tpu.parallel.ring import ring_attention
