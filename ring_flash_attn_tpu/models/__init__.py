@@ -1,0 +1,17 @@
+from .transformer import (
+    ModelConfig,
+    init_params,
+    forward,
+    loss_fn,
+    train_step,
+    prepare_zigzag_batch,
+)
+
+__all__ = [
+    "ModelConfig",
+    "init_params",
+    "forward",
+    "loss_fn",
+    "train_step",
+    "prepare_zigzag_batch",
+]

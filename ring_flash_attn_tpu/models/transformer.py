@@ -1,0 +1,211 @@
+"""Flagship model: a llama-style decoder trained with ring attention.
+
+The reference integrates with models by monkeypatching HF transformers
+(reference adapters/hf_adapter.py); the TPU-native framework additionally
+ships its own SPMD llama-family stack so long-context training works end to
+end without external model code: RMSNorm + rotary (layout-aware position
+ids) + GQA attention through any of the context-parallel schedules + SwiGLU
+MLP, as pure-JAX pytrees designed for shard_map over a ('dp','sp') mesh —
+batch over dp, sequence over sp, weights replicated (psum'd grads).
+
+The per-shard forward runs INSIDE shard_map: attention calls the per-shard
+schedule directly, everything else is local math, so the only collectives
+are the schedule's ppermute/all-gather plus the gradient psum.
+"""
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..parallel.ring import ring_attention
+from ..parallel.stripe import stripe_attention
+from ..parallel.zigzag import zigzag_ring_attention
+from ..parallel.llama3 import llama3_attention
+from ..parallel import layouts
+
+
+@dataclasses.dataclass(frozen=True)
+class ModelConfig:
+    vocab: int = 32000
+    dim: int = 1024
+    layers: int = 4
+    heads: int = 16
+    kv_heads: int = 4
+    head_dim: int = 64
+    mlp_dim: int = 2816
+    rope_theta: float = 10000.0
+    dtype: str = "bfloat16"
+    attention: str = "zigzag"  # ring | zigzag | stripe | llama3
+
+    @property
+    def jdtype(self):
+        return jnp.dtype(self.dtype)
+
+
+def init_params(key, cfg: ModelConfig):
+    """Replicated parameter pytree."""
+    keys = jax.random.split(key, 2 + cfg.layers)
+    d, hd = cfg.dim, cfg.head_dim
+
+    def dense(k, shape):
+        fan_in = shape[0]
+        return (jax.random.normal(k, shape, jnp.float32) * fan_in**-0.5).astype(
+            cfg.jdtype
+        )
+
+    def layer(k):
+        ks = jax.random.split(k, 7)
+        return {
+            "attn_norm": jnp.ones((d,), jnp.float32),
+            "wq": dense(ks[0], (d, cfg.heads * hd)),
+            "wk": dense(ks[1], (d, cfg.kv_heads * hd)),
+            "wv": dense(ks[2], (d, cfg.kv_heads * hd)),
+            "wo": dense(ks[3], (cfg.heads * hd, d)),
+            "mlp_norm": jnp.ones((d,), jnp.float32),
+            "w_gate": dense(ks[4], (d, cfg.mlp_dim)),
+            "w_up": dense(ks[5], (d, cfg.mlp_dim)),
+            "w_down": dense(ks[6], (cfg.mlp_dim, d)),
+        }
+
+    return {
+        "embed": (
+            jax.random.normal(keys[0], (cfg.vocab, d), jnp.float32) * 0.02
+        ).astype(cfg.jdtype),
+        "layers": [layer(k) for k in keys[2:]],
+        "final_norm": jnp.ones((d,), jnp.float32),
+        "lm_head": dense(keys[1], (d, cfg.vocab)),
+    }
+
+
+def _rmsnorm(x, w, eps=1e-6):
+    xf = x.astype(jnp.float32)
+    n = xf * lax.rsqrt(jnp.mean(xf * xf, axis=-1, keepdims=True) + eps)
+    return (n * w).astype(x.dtype)
+
+
+def _rope(x, positions, theta):
+    """x (B, H, S, D), positions (S,) int32 — explicit positions so sharded
+    layouts (zigzag/stripe) rotate by their true global positions."""
+    b, h, s, d = x.shape
+    half = d // 2
+    freqs = theta ** (-jnp.arange(0, half, dtype=jnp.float32) / half)
+    angles = positions.astype(jnp.float32)[:, None] * freqs[None, :]
+    cos = jnp.cos(angles)[None, None]
+    sin = jnp.sin(angles)[None, None]
+    x1, x2 = x[..., :half], x[..., half:]
+    xf1, xf2 = x1.astype(jnp.float32), x2.astype(jnp.float32)
+    return jnp.concatenate(
+        [xf1 * cos - xf2 * sin, xf2 * cos + xf1 * sin], axis=-1
+    ).astype(x.dtype)
+
+
+def _attention(cfg, x, layer, positions, axis_name):
+    b, s, d = x.shape
+    h, hkv, hd = cfg.heads, cfg.kv_heads, cfg.head_dim
+    xn = _rmsnorm(x, layer["attn_norm"])
+    q = (xn @ layer["wq"]).reshape(b, s, h, hd).transpose(0, 2, 1, 3)
+    k = (xn @ layer["wk"]).reshape(b, s, hkv, hd).transpose(0, 2, 1, 3)
+    v = (xn @ layer["wv"]).reshape(b, s, hkv, hd).transpose(0, 2, 1, 3)
+    q = _rope(q, positions, cfg.rope_theta)
+    k = _rope(k, positions, cfg.rope_theta)
+    scale = hd**-0.5
+    if axis_name is None:
+        from ..ops.flash import flash_attention
+        from ..ops.mask import MaskArgs
+
+        out, _ = flash_attention(q, k, v, scale, MaskArgs(causal=True))
+    elif cfg.attention == "ring":
+        out, _ = ring_attention(
+            q, k, v, scale=scale, causal=True, axis_name=axis_name
+        )
+    elif cfg.attention == "zigzag":
+        out, _ = zigzag_ring_attention(q, k, v, scale=scale, axis_name=axis_name)
+    elif cfg.attention == "stripe":
+        out, _ = stripe_attention(q, k, v, scale=scale, axis_name=axis_name)
+    elif cfg.attention == "llama3":
+        out, _ = llama3_attention(
+            q, k, v, None, scale=scale, causal=True, axis_name=axis_name
+        )
+    else:
+        raise ValueError(cfg.attention)
+    out = out.transpose(0, 2, 1, 3).reshape(b, s, h * hd)
+    return x + out @ layer["wo"]
+
+
+def _mlp(x, layer):
+    xn = _rmsnorm(x, layer["mlp_norm"])
+    return x + (
+        jax.nn.silu(xn @ layer["w_gate"]) * (xn @ layer["w_up"])
+    ) @ layer["w_down"]
+
+
+def forward(params, cfg: ModelConfig, tokens, positions, axis_name=None):
+    """Per-shard forward. tokens (B, S_local) int32, positions (S_local,)
+    giving each local token's global position (layout-dependent). Returns
+    logits (B, S_local, vocab)."""
+    x = params["embed"][tokens]
+    for layer in params["layers"]:
+        x = _attention(cfg, x, layer, positions, axis_name)
+        x = _mlp(x, layer)
+    x = _rmsnorm(x, params["final_norm"])
+    return (x @ params["lm_head"]).astype(jnp.float32)
+
+
+def loss_fn(params, cfg, tokens, labels, positions, axis_name=None):
+    """Mean next-token CE. labels already shifted + laid out like tokens;
+    label -100 = ignore (padding)."""
+    logits = forward(params, cfg, tokens, positions, axis_name)
+    valid = labels >= 0
+    labels_safe = jnp.where(valid, labels, 0)
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    tok_lp = jnp.take_along_axis(logp, labels_safe[..., None], axis=-1)[..., 0]
+    loss_sum = jnp.sum(jnp.where(valid, -tok_lp, 0.0))
+    count = jnp.sum(valid)
+    if axis_name is not None:
+        loss_sum = lax.psum(loss_sum, axis_name)
+        count = lax.psum(count, axis_name)
+    return loss_sum / jnp.maximum(count, 1)
+
+
+def train_step(params, cfg, tokens, labels, positions, lr=1e-3,
+               axis_name=None, data_axis=None):
+    """One SGD step, per-shard (call inside shard_map). Gradients are
+    psum'd over the sequence axis (weights replicated) and, when given,
+    the data axis."""
+    loss, grads = jax.value_and_grad(loss_fn)(
+        params, cfg, tokens, labels, positions, axis_name
+    )
+    axes = tuple(a for a in (axis_name, data_axis) if a is not None)
+    if axes:
+        grads = jax.tree.map(lambda g: lax.psum(g, axes), grads)
+        loss = lax.pmean(loss, data_axis) if data_axis else loss
+    new_params = jax.tree.map(
+        lambda p, g: (p.astype(jnp.float32) - lr * g.astype(jnp.float32)).astype(
+            p.dtype
+        ),
+        params,
+        grads,
+    )
+    return new_params, loss
+
+
+def prepare_zigzag_batch(tokens, world):
+    """Host-side: global (B, S) token batch -> (sharded tokens, sharded
+    labels, per-rank positions) in the zigzag layout, ready to feed a
+    shard_map whose sp axis has `world` devices."""
+    labels = jnp.concatenate(
+        [tokens[:, 1:], jnp.full_like(tokens[:, :1], -100)], axis=1
+    )
+    t_l = layouts.all_local_zigzag(tokens, world, axis=1)
+    l_l = layouts.all_local_zigzag(labels, world, axis=1)
+    s_local = tokens.shape[1] // world
+    pos = jnp.concatenate(
+        [
+            jnp.asarray(layouts.zigzag_position_ids(r, world, s_local))
+            for r in range(world)
+        ]
+    )
+    return t_l, l_l, pos

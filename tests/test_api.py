@@ -103,7 +103,7 @@ def test_batch_distributed_funcs(mesh, data, func_name, tolocal, restore,
     @partial(
         shard_map, mesh=mesh,
         in_specs=(P(None, "sp"), P(None, "sp"), P(None, "sp")),
-        out_specs=P(None, "sp"), check_rep=False,
+        out_specs=P(None, "sp"), check_vma=False,
     )
     def f(q, k, v):
         return func(q, k, v, causal=causal, group="sp")
@@ -132,7 +132,7 @@ def test_ring_varlen_func(mesh, data):
     ql, kl, vl = map(tolocal, (q1, k1, v1))
 
     @partial(shard_map, mesh=mesh, in_specs=(P("sp"), P("sp"), P("sp")),
-             out_specs=P("sp"), check_rep=False)
+             out_specs=P("sp"), check_vma=False)
     def f(q, k, v):
         return rfa.ring_flash_attn_varlen_func(
             q, k, v, cu_local, causal=True, group="sp"
@@ -187,7 +187,7 @@ def test_llama3_varlen_func(mesh, data):
     @partial(shard_map, mesh=mesh,
              in_specs=(P(None, None, "sp", None),) * 3 + (P("sp"),),
              out_specs=(P(None, None, "sp", None), P(None, None, "sp")),
-             check_rep=False)
+             check_vma=False)
     def f(q, k, v, seg):
         return llama3_attention(
             q, k, v, seg, scale=D**-0.5, causal=True, heads_k_stride=1,

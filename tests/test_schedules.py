@@ -55,7 +55,7 @@ def _run(mesh, fn, q, k, v, dout, tolocal, restore):
         mesh=mesh,
         in_specs=(SPEC4, SPEC4, SPEC4),
         out_specs=(SPEC4, SPEC3),
-        check_rep=False,
+        check_vma=False,
     )
     def sharded(q, k, v):
         return fn(q, k, v)
