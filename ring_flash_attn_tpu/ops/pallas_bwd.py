@@ -33,7 +33,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from .mask import MaskArgs, NEG_INF
-from .pallas_fwd import _pick_block
+from .pallas_fwd import _LN2, _LOG2E, _pick_block
 
 DEFAULT_BLOCK_Q = 512
 DEFAULT_BLOCK_KV = 512
@@ -136,10 +136,10 @@ def _dq_kernel(
             k_ref[0, 0],
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )  # (blk_q, blk_kv) true logits (scale folded into qs)
+        )  # (blk_q, blk_kv) base-2 logits (scale * log2e folded into qs)
         if masked:
             s = jnp.where(_allowed(), s, NEG_INF)
-        pr = jnp.exp(s - lse_ref[0, 0])  # = p * scale (lse shifted)
+        pr = jnp.exp2(s - lse_ref[0, 0])  # = p * scale (lse pre-shifted)
         dp = jax.lax.dot_general(
             dout_ref[0, 0],
             v_ref[0, 0],
@@ -246,10 +246,10 @@ def _dkv_kernel(
             qs_ref[0, 0],
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )  # (blk_kv, blk_q) true logits^T
+        )  # (blk_kv, blk_q) base-2 logits^T
         if masked:
             s_t = jnp.where(_allowed_t(), s_t, NEG_INF)
-        p_t = jnp.exp(s_t - lse_ref[0, 0].reshape(1, blk_q))
+        p_t = jnp.exp2(s_t - lse_ref[0, 0].reshape(1, blk_q))
         dv_s[...] += jax.lax.dot_general(
             p_t.astype(dout_ref.dtype),
             dout_ref[0, 0],
@@ -553,16 +553,26 @@ def pallas_block_bwd(dout, q, k, v, lse, delta, scale, mask: MaskArgs,
     skv = k.shape[2]
     blk_q = blk_q or _pick_block(sq, DEFAULT_BLOCK_Q)
     blk_kv = blk_kv or _pick_block(skv, DEFAULT_BLOCK_KV)
+    assert sq % blk_q == 0 and skv % blk_kv == 0, (sq, blk_q, skv, blk_kv)
 
-    qs = (q.astype(jnp.float32) * scale).astype(q.dtype)
+    # Base-2 regime throughout (see pallas_fwd): scale*log2e folded into q,
+    # lse converted to base-2 units, native exp2 on the VPU.
+    qs = (q.astype(jnp.float32) * (scale * _LOG2E)).astype(q.dtype)
     # Dead rows carry lse = NEG_INF; clamp to NEG_INF/2 so masked logits give
-    # p = exp(NEG_INF - NEG_INF/2) -> 0 instead of exp(0) = 1 garbage.
-    lse = jnp.maximum(lse, NEG_INF / 2)
-    lse4 = lse.astype(jnp.float32)[..., None]
+    # p = exp2(NEG_INF - NEG_INF/2) -> 0 instead of exp2(0) = 1 garbage.
+    lse2 = jnp.maximum(lse.astype(jnp.float32) * _LOG2E, NEG_INF / 2)
+    lse4 = lse2[..., None]
     delta4 = delta.astype(jnp.float32)[..., None]
     # dq kernel: fold the ds scale into the LSE (p' = p * scale).
-    lse_adj = lse4 - jnp.log(jnp.float32(scale))
+    lse_adj = lse4 - jnp.log2(jnp.float32(scale))
 
     dq = _dq(dout, qs, k, v, lse_adj, delta4, mask, blk_q, blk_kv, interpret)
-    dk, dv = _dkv(dout, qs, k, v, lse4, delta4, mask, blk_q, blk_kv, interpret)
+    # dk = ds^T @ qs picks up the log2e folded into qs; cancel it by folding
+    # ln2 into the (dp - delta) factor: scale v and delta by ln2. dv uses
+    # only p^T @ dout and stays exact.
+    v_dkv = (v.astype(jnp.float32) * _LN2).astype(v.dtype)
+    dk, dv = _dkv(
+        dout, qs, k, v_dkv, lse4, delta4 * _LN2, mask, blk_q, blk_kv,
+        interpret,
+    )
     return dq, dk, dv

@@ -40,6 +40,9 @@ from .mask import MaskArgs, NEG_INF
 DEFAULT_BLOCK_Q = 1024
 DEFAULT_BLOCK_KV = 1024
 
+_LOG2E = 1.4426950408889634  # log2(e): folded into q so the kernel uses exp2
+_LN2 = 0.6931471805599453
+
 
 def _pick_block(s, preferred):
     """Largest power-of-two block <= preferred that divides s."""
@@ -140,12 +143,16 @@ def _fwd_kernel(
         )  # (blk_q, blk_kv) f32
 
     def _update(s):
-        """Online-softmax state update with block logits s (blk_q, blk_kv)."""
+        """Online-softmax state update with block logits s (blk_q, blk_kv).
+
+        Logits arrive in base-2 units (log2(e) folded into the q pre-scale),
+        so the VPU runs native exp2 instead of exp (= exp2 + a multiply per
+        element); m/l are tracked base-2 and converted at flush."""
         m_prev = m_s[:, :1]  # (blk_q, 1)
         m_cur = jnp.max(s, axis=1, keepdims=True)
         m_new = jnp.maximum(m_prev, m_cur)
-        alpha = jnp.exp(m_prev - m_new)
-        pr = jnp.exp(s - m_new)
+        alpha = jnp.exp2(m_prev - m_new)
+        pr = jnp.exp2(s - m_new)
         l_new = l_s[:, :1] * alpha + jnp.sum(pr, axis=1, keepdims=True)
         # pr is cast to the V dtype for the PV matmul (flash-attention's
         # standard trick; the fp32 row statistics keep the result accurate).
@@ -193,7 +200,11 @@ def _fwd_kernel(
         dead = jnp.logical_or(l == 0.0, m_s[:, :1] <= NEG_INF / 2)
         l_safe = jnp.where(l == 0.0, 1.0, l)
         out_ref[0, 0] = jnp.where(dead, 0.0, acc_s[...] / l_safe)
-        lse_ref[0, 0] = jnp.where(dead, NEG_INF, m_s[:, :1] + jnp.log(l_safe))
+        # m is in base-2 units; emit lse in natural-log units
+        lse_ref[0, 0] = jnp.where(
+            dead, NEG_INF,
+            (m_s[:, :1] + jnp.log2(l_safe)) * jnp.float32(_LN2),
+        )
 
 
 def pallas_block_fwd(q, k, v, scale, mask: MaskArgs, interpret=False,
@@ -204,16 +215,20 @@ def pallas_block_fwd(q, k, v, scale, mask: MaskArgs, interpret=False,
     assert hq % hkv == 0, (hq, hkv)
     group = hq // hkv
 
-    # Fold the softmax scale into q up front (fp32 multiply, cast back):
-    # one fused HBM pass over q vs. a VPU multiply over every logit block.
-    q = (q.astype(jnp.float32) * scale).astype(q.dtype)
+    # Fold the softmax scale AND log2(e) into q up front (fp32 multiply,
+    # cast back): one fused HBM pass over q vs. a VPU multiply over every
+    # logit block, and base-2 logits for native exp2 in the kernel.
+    q = (q.astype(jnp.float32) * (scale * _LOG2E)).astype(q.dtype)
 
+    causal = bool(mask.causal)
+    # Measured on v5e at the headline shape: causal prefers square 1024
+    # blocks; mask-free (ring-step) blocks prefer wider KV.
     blk_q = blk_q or _pick_block(sq, DEFAULT_BLOCK_Q)
-    blk_kv = blk_kv or _pick_block(skv, DEFAULT_BLOCK_KV)
+    blk_kv = blk_kv or _pick_block(skv, 1024 if causal else 2048)
+    assert sq % blk_q == 0 and skv % blk_kv == 0, (sq, blk_q, skv, blk_kv)
     n_q = sq // blk_q
     n_kv = skv // blk_kv
 
-    causal = bool(mask.causal)
     use_positions = mask.q_pos is not None
     use_segments = mask.q_segids is not None
     offset_static = (
