@@ -3,34 +3,40 @@
 The reference makes any HF causal LM ring-capable by monkeypatching
 transformers' flash-attention entry points and feeding per-batch sharding
 metadata through a module-global DATA_PARAMS dict
-(reference hf_adapter.py:32,42-62,361-393). The TPU-native analog:
+(reference hf_adapter.py:32,42-62,361-393). The TPU-native analog differs in
+one key way: torchrun gives every rank its own process (per-rank metadata in
+a global), while JAX SPMD traces ONE program for all ranks — so DATA_PARAMS
+holds *global* metadata (the packed batch's per-token segment labels) and
+each shard slices out its piece with `lax.axis_index` inside the trace.
 
-- `update_ring_flash_attn_params(cu_seqlens, group)` — identical contract:
-  recompute the llama3 sharding metadata for the new batch and stash it
-  (reference :42-62). Call once per batch, before the model forward.
+- `update_ring_flash_attn_params(cu_seqlens, group)` — per batch, before the
+  model forward (reference :42-62): stores the global segment-label array.
 - `use_ring_attn(bool)` — runtime toggle (reference RING_ATTN_SWITCH, :33).
-- `ring_attention_forward(q, k, v, ...)` — the attention callable models
-  route through: per-shard (B, S, H, D) in/out, dispatching to
-  llama3_flash_attn_varlen_func with DATA_PARAMS, or plain causal flash
-  when the switch is off. models/transformer.py consumes this, and
-  `substitute_hf_flash_attn` wires it into HF transformers' Flax models.
+- `ring_attention_forward(q, k, v, ...)` — the attention override models
+  route through: per-shard (B, S_local, H, D) in/out, llama3 all-gather
+  context parallelism underneath.
+- `substitute_hf_flash_attn()` — patches HF transformers' Flax decoder
+  attention (llama/mistral/gemma) to route through the override.
 
 Constraints mirror the reference: causal-only, packed batch_size == 1
-(reference hf_adapter.py:138-147).
+(reference hf_adapter.py:138-147). The patched model must be applied inside
+shard_map over the context-parallel axis with global position_ids per shard.
 """
 
-import jax.numpy as jnp
+import importlib
 
-from ..api import (
-    flash_attn_func,
-    llama3_flash_attn_prepare_cu_seqlens,
-    llama3_flash_attn_varlen_func,
-)
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from ..api import _axis, flash_attn_func
+from ..parallel.llama3 import llama3_attention
 
 # Per-batch sharding metadata, set by update_ring_flash_attn_params —
 # the reference's module-global of the same name (hf_adapter.py:32).
 DATA_PARAMS = {}
 _RING_ATTN_SWITCH = True
+_HF_SUBSTITUTED = False
 
 
 def use_ring_attn(enable):
@@ -39,45 +45,40 @@ def use_ring_attn(enable):
     _RING_ATTN_SWITCH = enable
 
 
-def update_ring_flash_attn_params(cu_seqlens, group=None, rank=None,
-                                  world_size=None):
-    """Recompute llama3 metadata for this batch (reference :42-62).
+def update_ring_flash_attn_params(cu_seqlens, group=None):
+    """Recompute sharding metadata for this batch (reference :42-62).
 
-    cu_seqlens: GLOBAL packed cu_seqlens (host ints). rank/world_size
-    identify this shard; unlike torch.distributed, JAX SPMD has no ambient
-    process group outside traced code, so they are explicit (every rank of
-    a multi-host program passes its own jax.process_index-derived rank, or
-    the adapter is used inside shard_map where api-level functions read the
-    axis instead)."""
-    assert rank is not None and world_size is not None, (
-        "rank/world_size are required on TPU (no ambient process group)"
-    )
-    (
-        cu_seqlens_q,
-        cu_seqlens_k,
-        max_seqlen_q,
-        max_seqlen_k,
-        local_k_slice,
-    ) = llama3_flash_attn_prepare_cu_seqlens(
-        cu_seqlens, causal=True, rank=rank, world_size=world_size
-    )
+    cu_seqlens: GLOBAL packed cu_seqlens (host ints). Stores each token's
+    globally-consistent segment label (its sequence's global start), which
+    every shard slices by axis_index at trace time — replacing the
+    reference's per-rank cu_seqlens_q/k + local_k_slice."""
+    cu = np.asarray(cu_seqlens, np.int64)
+    total = int(cu[-1])
+    seg = np.searchsorted(cu, np.arange(total), side="right") - 1
     DATA_PARAMS.update(
         {
-            "cu_seqlens_q": cu_seqlens_q,
-            "cu_seqlens_k": cu_seqlens_k,
-            "max_seqlen_q": max_seqlen_q,
-            "max_seqlen_k": max_seqlen_k,
-            "local_k_slice": local_k_slice,
+            "global_segids": jnp.asarray(cu[seg], jnp.int32),
+            "total": total,
             "group": group,
         }
     )
 
 
 def ring_attention_forward(q, k, v, causal=True, softmax_scale=None,
-                           heads_k_stride=None, group=None):
-    """Attention override: (B, S, H, D) in/out, B == 1 packed when ring is
-    on (the reference enforces the same, hf_adapter.py:145-147)."""
-    if not _RING_ATTN_SWITCH or not DATA_PARAMS:
+                           heads_k_stride=None, group=None,
+                           position_ids=None):
+    """Attention override: (B, S_local, H, D) in/out, packed batch_size == 1
+    when ring is on (the reference enforces the same, hf_adapter.py:145-147).
+    Must run inside shard_map over the context-parallel axis.
+
+    Segment labels come from `position_ids` when given (packed batches reset
+    positions at each sequence start, so a token's sequence label is its
+    global packed index minus its within-sequence position — fully traced,
+    immune to stale jit constants), else from the DATA_PARAMS metadata set
+    by update_ring_flash_attn_params."""
+    if not _RING_ATTN_SWITCH or (
+        position_ids is None and "global_segids" not in DATA_PARAMS
+    ):
         return flash_attn_func(
             q, k, v, softmax_scale=softmax_scale, causal=causal
         )
@@ -85,34 +86,99 @@ def ring_attention_forward(q, k, v, causal=True, softmax_scale=None,
     assert q.shape[0] == 1, (
         "ring adapter requires packed batch_size == 1 (reference :145-147)"
     )
-    out = llama3_flash_attn_varlen_func(
-        q[0], k[0], v[0],
-        cu_seqlens_q=DATA_PARAMS["cu_seqlens_q"],
-        cu_seqlens_k=DATA_PARAMS["cu_seqlens_k"],
-        max_seqlen_q=DATA_PARAMS["max_seqlen_q"],
-        max_seqlen_k=DATA_PARAMS["max_seqlen_k"],
-        heads_k_stride=heads_k_stride,
-        local_k_slice=DATA_PARAMS["local_k_slice"],
-        softmax_scale=softmax_scale,
-        causal=True,
-        group=group if group is not None else DATA_PARAMS.get("group"),
+    axis = _axis(group if group is not None else DATA_PARAMS.get("group"))
+    l = q.shape[1]
+    rank = lax.axis_index(axis)
+    if position_ids is not None:
+        tok_idx = rank * l + jnp.arange(l, dtype=jnp.int32)
+        seg_local = tok_idx - position_ids.reshape(-1).astype(jnp.int32)
+    else:
+        seg_local = lax.dynamic_slice(
+            DATA_PARAMS["global_segids"], (rank * l,), (l,)
+        )
+    scale = softmax_scale if softmax_scale is not None else q.shape[-1] ** -0.5
+    out, _ = llama3_attention(
+        jnp.swapaxes(q, 1, 2), jnp.swapaxes(k, 1, 2), jnp.swapaxes(v, 1, 2),
+        seg_local, scale=scale, causal=True,
+        heads_k_stride=heads_k_stride or DATA_PARAMS.get("heads_k_stride"),
+        axis_name=axis,
     )
-    return out[None]
+    return jnp.swapaxes(out, 1, 2)
+
+
+def _make_patched_flax_attention_call(orig_call):
+    """Ring-aware replacement for HF Flax decoder attention __call__
+    (FlaxLlamaAttention and its mistral/gemma copies share this signature).
+    Falls back to the original for decode-cache / attn-weights paths — the
+    same scoping as the reference's patched _flash_attention_forward
+    (hf_adapter.py:74-167)."""
+
+    def patched(self, hidden_states, attention_mask, position_ids,
+                deterministic=True, init_cache=False,
+                output_attentions=False):
+        using_cache = init_cache or self.has_variable("cache", "cached_key")
+        if not _RING_ATTN_SWITCH or using_cache or output_attentions:
+            return orig_call(
+                self, hidden_states, attention_mask, position_ids,
+                deterministic=deterministic, init_cache=init_cache,
+                output_attentions=output_attentions,
+            )
+        query = self._split_heads(self.q_proj(hidden_states), self.num_heads)
+        key = self._split_heads(
+            self.k_proj(hidden_states), self.num_key_value_heads
+        )
+        value = self._split_heads(
+            self.v_proj(hidden_states), self.num_key_value_heads
+        )
+        # position_ids carry each token's within-sequence position (the
+        # standard packed convention) — correct rotary phases per shard AND
+        # enough to recover segment labels (see ring_attention_forward).
+        key, query = self.rotary_emb(key, query, position_ids)
+        attn_output = ring_attention_forward(
+            query, key, value, causal=True,
+            softmax_scale=self.head_dim**-0.5,
+            position_ids=position_ids,
+        )
+        attn_output = self._merge_heads(attn_output.astype(self.dtype))
+        attn_output = self.o_proj(attn_output)
+        return (attn_output,)
+
+    return patched
 
 
 def substitute_hf_flash_attn(process_group=None, heads_k_stride=1):
-    """Patch HF transformers so Flax causal-LM attention routes through
-    ring attention (the reference patches torch transformers' private
-    _flash_attention_forward + ALL_ATTENTION_FUNCTIONS, hf_adapter.py:361-393).
+    """Make HF transformers' Flax causal-LM attention ring-capable (the
+    reference patches torch transformers' private _flash_attention_forward +
+    ALL_ATTENTION_FUNCTIONS, hf_adapter.py:361-393; on the JAX side the
+    integration point is the Flax attention modules' __call__).
 
-    Round-1 scope: registers `ring_attention_forward` as the override used
-    by models/transformer.py and returns it; wiring into
-    transformers.modeling_flax_* lands with the model-zoo pass."""
+    Patches every available Flax decoder family with the llama attention
+    structure (llama, mistral, gemma). Call once at startup; then per batch
+    call `update_ring_flash_attn_params`, and apply the model inside
+    shard_map over the context-parallel axis with global position_ids.
+    Returns `ring_attention_forward` for custom stacks."""
     global _HF_SUBSTITUTED
-    _HF_SUBSTITUTED = True
-    DATA_PARAMS.setdefault("group", process_group)
+    DATA_PARAMS["group"] = process_group
     DATA_PARAMS["heads_k_stride"] = heads_k_stride
+    if _HF_SUBSTITUTED:
+        return ring_attention_forward
+
+    targets = [
+        ("transformers.models.llama.modeling_flax_llama",
+         "FlaxLlamaAttention"),
+        ("transformers.models.mistral.modeling_flax_mistral",
+         "FlaxMistralAttention"),
+        ("transformers.models.gemma.modeling_flax_gemma",
+         "FlaxGemmaAttention"),
+    ]
+    patched_any = False
+    for mod_name, cls_name in targets:
+        try:
+            mod = importlib.import_module(mod_name)
+            cls = getattr(mod, cls_name)
+        except Exception:
+            continue
+        cls.__call__ = _make_patched_flax_attention_call(cls.__call__)
+        patched_any = True
+    _HF_SUBSTITUTED = patched_any
     return ring_attention_forward
-
-
-_HF_SUBSTITUTED = False

@@ -1,0 +1,87 @@
+"""HF transformers adapter test: a real FlaxLlamaForCausalLM, patched, runs
+context-parallel under shard_map and matches the unpatched full-sequence
+model — the JAX analog of the reference's HF integration
+(reference adapters/hf_adapter.py, usage README.md:15-69)."""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax import shard_map
+from jax.sharding import Mesh, PartitionSpec as P
+
+import ring_flash_attn_tpu as rfa
+from ring_flash_attn_tpu.adapters import adapter as adapter_mod
+
+transformers = pytest.importorskip("transformers")
+
+W = 8
+S = 256
+
+
+@pytest.fixture(scope="module")
+def model():
+    from transformers import LlamaConfig
+    from transformers.models.llama.modeling_flax_llama import (
+        FlaxLlamaForCausalLM,
+    )
+
+    cfg = LlamaConfig(
+        vocab_size=128, hidden_size=64, intermediate_size=128,
+        num_hidden_layers=2, num_attention_heads=4, num_key_value_heads=2,
+        max_position_embeddings=S,
+    )
+    return FlaxLlamaForCausalLM(cfg, dtype=jnp.float32, seed=0)
+
+
+def test_patched_sharded_matches_unpatched_full(devices8, model):
+    mesh = Mesh(devices8, ("sp",))
+    rfa.substitute_hf_flash_attn(process_group="sp")
+
+    tokens = jax.random.randint(jax.random.PRNGKey(1), (1, S), 0, 128,
+                                jnp.int32)
+    # packed batch: two sequences of 96 and 160 tokens
+    pos = jnp.concatenate(
+        [jnp.arange(96), jnp.arange(160)]
+    )[None].astype(jnp.int32)
+    attn_mask = jnp.ones((1, S), jnp.int32)
+
+    # oracle: each sequence through the (unpatched path of the) model alone
+    adapter_mod.use_ring_attn(False)
+    ref_a = model.module.apply(
+        {"params": model.params}, tokens[:, :96], attn_mask[:, :96],
+        pos[:, :96],
+    )[0]
+    ref_b = model.module.apply(
+        {"params": model.params}, tokens[:, 96:], attn_mask[:, 96:],
+        jnp.arange(160)[None].astype(jnp.int32),
+    )[0]
+    ref = jnp.concatenate([ref_a, ref_b], axis=1)
+
+    adapter_mod.use_ring_attn(True)
+
+    @partial(shard_map, mesh=mesh,
+             in_specs=(P(), P(None, "sp"), P(None, "sp"), P(None, "sp")),
+             out_specs=P(None, "sp"), check_vma=False)
+    def sharded(params, tokens, mask, pos):
+        return model.module.apply({"params": params}, tokens, mask, pos)[0]
+
+    out = jax.jit(sharded)(model.params, tokens, attn_mask, pos)
+    assert out.shape == ref.shape
+    assert jnp.max(jnp.abs(out - ref)) < 2e-4, float(jnp.max(jnp.abs(out - ref)))
+
+
+def test_use_ring_attn_toggle(devices8, model):
+    """With the switch off, the patched model behaves exactly like stock HF
+    (reference RING_ATTN_SWITCH, hf_adapter.py:33,65-67)."""
+    rfa.substitute_hf_flash_attn(process_group="sp")
+    adapter_mod.use_ring_attn(False)
+    tokens = jax.random.randint(jax.random.PRNGKey(2), (1, 64), 0, 128,
+                                jnp.int32)
+    pos = jnp.arange(64)[None].astype(jnp.int32)
+    mask = jnp.ones((1, 64), jnp.int32)
+    out = model.module.apply({"params": model.params}, tokens, mask, pos)[0]
+    assert out.shape == (1, 64, 128)
+    adapter_mod.use_ring_attn(True)
