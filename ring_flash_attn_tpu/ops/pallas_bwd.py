@@ -35,7 +35,9 @@ from jax.experimental.pallas import tpu as pltpu
 from .mask import MaskArgs, NEG_INF
 from .pallas_fwd import _LN2, _LOG2E, _pick_block
 
-DEFAULT_BLOCK_Q = 512
+# Measured on v5e at the headline shape (see bench.py): 1024x512 beats
+# 512x512 by ~6% on the combined dq+dkv pass.
+DEFAULT_BLOCK_Q = 1024
 DEFAULT_BLOCK_KV = 512
 
 
