@@ -21,40 +21,56 @@ from .mask import NEG_INF
 
 
 class QuantizedKV(NamedTuple):
-    k_q: jax.Array  # int8 (B, Hkv, S, D)
+    k_q: jax.Array  # int8 / fp8 (B, Hkv, S, D)
     k_scale: jax.Array  # f32 (B, Hkv, S)
-    v_q: jax.Array  # int8 (B, Hkv, S, D)
+    v_q: jax.Array  # int8 / fp8 (B, Hkv, S, D)
     v_scale: jax.Array  # f32 (B, Hkv, S)
 
 
-def quantize_tensor(x):
-    """Symmetric int8 over the last dim: x ~= x_q * scale[..., None]."""
+_QDTYPES = {
+    "int8": (jnp.int8, 127.0),
+    "fp8_e4m3": (jnp.float8_e4m3fn, 448.0),
+    "fp8_e5m2": (jnp.float8_e5m2, 57344.0),
+}
+
+
+def quantize_tensor(x, qdtype="int8"):
+    """Symmetric quantization over the last dim: x ~= x_q * scale[..., None].
+
+    qdtype: "int8" (default), "fp8_e4m3", "fp8_e5m2"."""
+    dt, qmax = _QDTYPES[qdtype]
     xf = x.astype(jnp.float32)
     amax = jnp.max(jnp.abs(xf), axis=-1)
-    scale = jnp.where(amax == 0.0, 1.0, amax / 127.0)
-    x_q = jnp.clip(
-        jnp.round(xf / scale[..., None]), -127, 127
-    ).astype(jnp.int8)
+    scale = jnp.where(amax == 0.0, 1.0, amax / qmax)
+    scaled = xf / scale[..., None]
+    if qdtype == "int8":
+        x_q = jnp.clip(jnp.round(scaled), -qmax, qmax).astype(dt)
+    else:
+        x_q = scaled.astype(dt)
     return x_q, scale
 
 
-def quantize_kv(k, v):
-    k_q, k_s = quantize_tensor(k)
-    v_q, v_s = quantize_tensor(v)
+def quantize_kv(k, v, qdtype="int8"):
+    k_q, k_s = quantize_tensor(k, qdtype)
+    v_q, v_s = quantize_tensor(v, qdtype)
     return QuantizedKV(k_q, k_s, v_q, v_s)
 
 
-def make_cache(batch, kv_heads, max_len, head_dim):
+def make_cache(batch, kv_heads, max_len, head_dim, qdtype="int8"):
     """Empty quantized cache (decode-time rolling buffer)."""
-    z8 = jnp.zeros((batch, kv_heads, max_len, head_dim), jnp.int8)
+    dt, _ = _QDTYPES[qdtype]
+    z8 = jnp.zeros((batch, kv_heads, max_len, head_dim), dt)
     zs = jnp.ones((batch, kv_heads, max_len), jnp.float32)
     return QuantizedKV(z8, zs, z8, zs)
 
 
 def update_cache(cache: QuantizedKV, k_new, v_new, index):
     """Insert new k/v (B, Hkv, T_new, D) at position `index` (traced ok)."""
-    k_q, k_s = quantize_tensor(k_new)
-    v_q, v_s = quantize_tensor(v_new)
+    qdtype = next(
+        name for name, (dt, _) in _QDTYPES.items() if dt == cache.k_q.dtype
+    )
+    k_q, k_s = quantize_tensor(k_new, qdtype)
+    v_q, v_s = quantize_tensor(v_new, qdtype)
     upd4 = lambda buf, val: jax.lax.dynamic_update_slice_in_dim(
         buf, val, index, axis=2
     )

@@ -29,12 +29,28 @@ B, HQ, HKV, S, D = 1, 8, 2, 512, 64
 SCALE = D**-0.5
 
 
-def test_quantize_roundtrip_error():
+@pytest.mark.parametrize(
+    "qdtype,bound", [("int8", 1.0 / 127), ("fp8_e4m3", 1.0 / 8)]
+)
+def test_quantize_roundtrip_error(qdtype, bound):
     x = jax.random.normal(jax.random.PRNGKey(0), (2, 4, 64, 128), jnp.float32)
-    x_q, s = quantize_tensor(x)
+    x_q, s = quantize_tensor(x, qdtype)
     x_hat = x_q.astype(jnp.float32) * s[..., None]
     rel = jnp.max(jnp.abs(x - x_hat)) / jnp.max(jnp.abs(x))
-    assert rel < 1.0 / 127
+    assert rel < bound
+
+
+def test_fp8_decode_close_to_oracle():
+    q = jax.random.normal(jax.random.PRNGKey(0), (B, HQ, 1, D), jnp.float32)
+    k = jax.random.normal(jax.random.PRNGKey(1), (B, HKV, S, D), jnp.float32)
+    v = jax.random.normal(jax.random.PRNGKey(2), (B, HKV, S, D), jnp.float32)
+    cache = quantize_kv(k, v, "fp8_e4m3")
+    out, _ = quant_decode_attention(q, cache, S, SCALE)
+    g = HQ // HKV
+    qf = q.reshape(B, HKV, g, D)
+    p = jax.nn.softmax(jnp.einsum("bhgd,bhkd->bhgk", qf, k) * SCALE, -1)
+    ref = jnp.einsum("bhgk,bhkd->bhgd", p, v).reshape(B, HQ, 1, D)
+    assert jnp.max(jnp.abs(out - ref)) < 0.12  # fp8_e4m3 ~2-3 mantissa bits
 
 
 def test_quant_decode_matches_oracle():
