@@ -50,19 +50,32 @@ def _axis(group):
     return _DEFAULT_AXIS if group is None else group
 
 
-def _check_unsupported(dropout_p, window_size, alibi_slopes):
+def _check_unsupported(dropout_p, window_size, alibi_slopes,
+                       allow_window=False):
     if dropout_p != 0.0:
         raise NotImplementedError(
             "dropout is not supported (the reference documents the same "
             "limitation, README.md:158)"
         )
+    window_left = None
     if tuple(window_size) != (-1, -1):
-        raise NotImplementedError("window_size (SWA) is not supported yet")
+        if (
+            allow_window
+            and window_size[0] >= 0
+            and window_size[1] in (0, -1)
+        ):
+            window_left = int(window_size[0])
+        else:
+            raise NotImplementedError(
+                "window_size: only causal sliding windows (left, 0) on the "
+                "single-device flash path are supported"
+            )
     if alibi_slopes is not None:
         raise NotImplementedError(
             "alibi_slopes is not supported (reference asserts the same, "
             "ring_flash_attn.py:176)"
         )
+    return window_left
 
 
 def _bshd_to_bhsd(x):
@@ -97,11 +110,17 @@ def flash_attn_func(
     window_size=(-1, -1), alibi_slopes=None, deterministic=False,
     return_attn_probs=False,
 ):
-    """Single-device flash attention, q/k/v (B, S, H, D)."""
-    _check_unsupported(dropout_p, window_size, alibi_slopes)
+    """Single-device flash attention, q/k/v (B, S, H, D). Supports causal
+    sliding windows via window_size=(left, 0)."""
+    window_left = _check_unsupported(
+        dropout_p, window_size, alibi_slopes, allow_window=True
+    )
+    if window_left is not None and not causal:
+        raise NotImplementedError("sliding window requires causal=True")
     out, lse = _flash_attention(
         _bshd_to_bhsd(q), _bshd_to_bhsd(k), _bshd_to_bhsd(v),
-        _scale(softmax_scale, q.shape[-1]), MaskArgs(causal=causal),
+        _scale(softmax_scale, q.shape[-1]),
+        MaskArgs(causal=causal, window_left=window_left),
     )
     return _ret(out, lse, return_attn_probs)
 

@@ -42,6 +42,10 @@ class MaskArgs(NamedTuple):
     kv_segids: Optional[Any] = None
     q_pos: Optional[Any] = None
     kv_pos: Optional[Any] = None
+    # sliding window: attend only kv with q_position - kv_position <
+    # window_left (static int, None = unlimited). flash-attn's
+    # window_size[0]; combined with `causal`.
+    window_left: Optional[int] = None
 
     @property
     def has_position_mask(self):
@@ -65,6 +69,8 @@ def allowed_mask(mask: MaskArgs, sq: int, skv: int):
             if mask.offset is not None:
                 qp = qp + mask.offset
         allowed = qp[:, None] >= kp[None, :]
+        if mask.window_left is not None:
+            allowed &= (qp[:, None] - kp[None, :]) <= mask.window_left
     if mask.q_segids is not None:
         seg = mask.q_segids.astype(jnp.int32)[:, None] == mask.kv_segids.astype(
             jnp.int32

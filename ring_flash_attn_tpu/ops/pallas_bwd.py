@@ -68,6 +68,7 @@ def _dq_kernel(
     use_segments,
     triangular,
     static_offset,
+    window_left,
     blk_q,
     blk_kv,
     num_kv_blocks,
@@ -119,12 +120,15 @@ def _dq_kernel(
             if use_positions:
                 qp = qpos_ref[0, :].reshape(blk_q, 1)
                 kp = kpos_ref[0, :].reshape(1, blk_kv)
-                allowed = qp >= kp
             else:
                 offset_ = info_ref[0]
                 rows = jax.lax.broadcasted_iota(jnp.int32, (blk_q, blk_kv), 0)
                 cols = jax.lax.broadcasted_iota(jnp.int32, (blk_q, blk_kv), 1)
-                allowed = (iq * blk_q + rows + offset_) >= (ikv * blk_kv + cols)
+                qp = iq * blk_q + rows + offset_
+                kp = ikv * blk_kv + cols
+            allowed = qp >= kp
+            if window_left is not None:
+                allowed &= (qp - kp) <= window_left
         if use_segments:
             qs_ = qseg_ref[0, :].reshape(blk_q, 1)
             ks_ = kseg_ref[0, :].reshape(1, blk_kv)
@@ -156,7 +160,8 @@ def _dq_kernel(
             preferred_element_type=jnp.float32,
         )
 
-    if causal and not use_positions and not use_segments:
+    if (causal and not use_positions and not use_segments
+            and window_left is None):
         on_diag = (iq * blk_q + info_ref[0]) < ((ikv + 1) * blk_kv - 1)
 
         @pl.when(should_compute & on_diag)
@@ -194,6 +199,7 @@ def _dkv_kernel(
     causal,
     use_positions,
     use_segments,
+    window_left,
     blk_q,
     blk_kv,
 ):
@@ -229,12 +235,15 @@ def _dkv_kernel(
             if use_positions:
                 qp = qpos_ref[0, :].reshape(1, blk_q)
                 kp = kpos_ref[0, :].reshape(blk_kv, 1)
-                allowed = qp >= kp
             else:
                 offset_ = info_ref[0]
                 cols = jax.lax.broadcasted_iota(jnp.int32, (blk_kv, blk_q), 1)
                 rows = jax.lax.broadcasted_iota(jnp.int32, (blk_kv, blk_q), 0)
-                allowed = (iq * blk_q + cols + offset_) >= (ikv * blk_kv + rows)
+                qp = iq * blk_q + cols + offset_
+                kp = ikv * blk_kv + rows
+            allowed = qp >= kp
+            if window_left is not None:
+                allowed &= (qp - kp) <= window_left
         if use_segments:
             qs_ = qseg_ref[0, :].reshape(1, blk_q)
             ks_ = kseg_ref[0, :].reshape(blk_kv, 1)
@@ -272,7 +281,8 @@ def _dkv_kernel(
             preferred_element_type=jnp.float32,
         )
 
-    if causal and not use_positions and not use_segments:
+    if (causal and not use_positions and not use_segments
+            and window_left is None):
         on_diag = (iq * blk_q + info_ref[0]) < ((ikv + 1) * blk_kv - 1)
 
         @pl.when(on_diag)
@@ -403,6 +413,7 @@ def _dq(dout, qs, k, v, lse_adj, delta, mask, blk_q, blk_kv, interpret):
         use_segments=use_segments,
         triangular=triangular,
         static_offset=static_offset,
+        window_left=mask.window_left,
         blk_q=blk_q,
         blk_kv=blk_kv,
         num_kv_blocks=n_kv,
@@ -512,6 +523,7 @@ def _dkv(dout, qs, k, v, lse, delta, mask, blk_q, blk_kv, interpret):
         causal=causal,
         use_positions=use_positions,
         use_segments=use_segments,
+        window_left=mask.window_left,
         blk_q=blk_q,
         blk_kv=blk_kv,
     )

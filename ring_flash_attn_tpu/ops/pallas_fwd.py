@@ -63,6 +63,7 @@ def _fwd_kernel(
     use_segments,
     triangular,
     static_offset,
+    window_left,
     blk_q,
     blk_kv,
     num_kv_blocks,
@@ -118,12 +119,15 @@ def _fwd_kernel(
             if use_positions:
                 qp = qpos_ref[0, :].reshape(blk_q, 1)
                 kp = kpos_ref[0, :].reshape(1, blk_kv)
-                allowed = qp >= kp
             else:
                 offset_ = info_ref[0]
                 rows = jax.lax.broadcasted_iota(jnp.int32, (blk_q, blk_kv), 0)
                 cols = jax.lax.broadcasted_iota(jnp.int32, (blk_q, blk_kv), 1)
-                allowed = (iq * blk_q + rows + offset_) >= (ikv * blk_kv + cols)
+                qp = iq * blk_q + rows + offset_
+                kp = ikv * blk_kv + cols
+            allowed = qp >= kp
+            if window_left is not None:
+                allowed &= (qp - kp) <= window_left
         if use_segments:
             qs = qseg_ref[0, :].reshape(blk_q, 1)
             ks = kseg_ref[0, :].reshape(1, blk_kv)
@@ -165,10 +169,12 @@ def _fwd_kernel(
         m_s[...] = jnp.broadcast_to(m_new, m_s.shape)
         l_s[...] = jnp.broadcast_to(l_new, l_s.shape)
 
-    if causal and not use_positions and not use_segments:
+    if (causal and not use_positions and not use_segments
+            and window_left is None):
         # Mask pass only on diagonal-crossing blocks; interior blocks take
         # the mask-free path. pl.when predication (Mosaic branches poorly
-        # through lax.cond).
+        # through lax.cond). (A window disables the fast path: interior
+        # blocks may be window-masked.)
         on_diag = (iq * blk_q + info_ref[0]) < ((ikv + 1) * blk_kv - 1)
 
         @pl.when(should_compute & on_diag)
@@ -339,6 +345,7 @@ def pallas_block_fwd(q, k, v, scale, mask: MaskArgs, interpret=False,
         use_segments=use_segments,
         triangular=triangular,
         static_offset=static_offset,
+        window_left=mask.window_left,
         blk_q=blk_q,
         blk_kv=blk_kv,
         num_kv_blocks=n_kv,

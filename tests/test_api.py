@@ -230,6 +230,47 @@ def test_unsupported_kwargs_raise(data):
     with pytest.raises(NotImplementedError):
         rfa.flash_attn_func(q, k, v, dropout_p=0.1)
     with pytest.raises(NotImplementedError):
-        rfa.flash_attn_func(q, k, v, window_size=(128, 0))
+        # sliding windows are single-device-flash only
+        rfa.ring_flash_attn_func(q, k, v, window_size=(128, 0))
     with pytest.raises(NotImplementedError):
         rfa.flash_attn_func(q, k, v, alibi_slopes=jnp.ones(HQ))
+
+
+def test_sliding_window_flash(data):
+    q, k, v = data
+    window = 64
+    out = rfa.flash_attn_func(q, k, v, causal=True, window_size=(window, 0))
+    # oracle with explicit band mask
+    qi, ki, vi = (jnp.swapaxes(x, 1, 2) for x in (q, k, v))
+    g = HQ // HKV
+    qf = qi.astype(jnp.float32).reshape(B, HKV, g, S, D)
+    logits = jnp.einsum("bhgqd,bhkd->bhgqk", qf, ki) * D**-0.5
+    i = jnp.arange(S)
+    allowed = (i[:, None] >= i[None, :]) & ((i[:, None] - i[None, :]) <= window)
+    logits = jnp.where(allowed, logits, -jnp.inf)
+    p = jax.nn.softmax(logits, -1)
+    ref = jnp.einsum("bhgqk,bhkd->bhgqd", p, vi).reshape(B, HQ, S, D)
+    assert jnp.max(jnp.abs(jnp.swapaxes(out, 1, 2) - ref)) < 2e-5
+
+    # grads agree with autodiff through the banded oracle
+    dout = jax.random.normal(jax.random.PRNGKey(7), q.shape, jnp.float32)
+
+    def loss(q, k, v):
+        return jnp.sum(
+            rfa.flash_attn_func(q, k, v, causal=True,
+                                window_size=(window, 0)) * dout
+        )
+
+    def loss_ref(q, k, v):
+        qi, ki, vi = (jnp.swapaxes(x, 1, 2) for x in (q, k, v))
+        qf = qi.astype(jnp.float32).reshape(B, HKV, g, S, D)
+        logits = jnp.einsum("bhgqd,bhkd->bhgqk", qf, ki) * D**-0.5
+        logits = jnp.where(allowed, logits, -jnp.inf)
+        p = jax.nn.softmax(logits, -1)
+        o = jnp.einsum("bhgqk,bhkd->bhgqd", p, vi).reshape(B, HQ, S, D)
+        return jnp.sum(jnp.swapaxes(o, 1, 2) * dout)
+
+    g1 = jax.grad(loss, (0, 1, 2))(q, k, v)
+    g2 = jax.grad(loss_ref, (0, 1, 2))(q, k, v)
+    for a, b in zip(g1, g2):
+        assert jnp.max(jnp.abs(a - b)) < 1e-4
