@@ -3,6 +3,7 @@ from .ring import ring_attention
 from .zigzag import zigzag_ring_attention
 from .stripe import stripe_attention
 from .llama3 import llama3_attention
+from .ulysses import ulysses_attention
 from .layouts import (
     extract_local_contiguous,
     extract_local_zigzag,
@@ -19,6 +20,7 @@ __all__ = [
     "zigzag_ring_attention",
     "stripe_attention",
     "llama3_attention",
+    "ulysses_attention",
     "extract_local_contiguous",
     "extract_local_zigzag",
     "extract_local_stripe",

@@ -1,0 +1,62 @@
+"""Ulysses (DeepSpeed) head-parallel sequence parallelism — an EXTENSION
+beyond the reference (SURVEY.md §2 notes it as explicitly absent there).
+
+Instead of rotating KV, Ulysses all-to-alls the activations: sequence-sharded
+q/k/v (B, H, S/W, D) become head-sharded full-sequence (B, H/W, S, D), run
+ONE dense flash-attention call at full kernel efficiency, and all-to-all
+back. Two A2As per direction instead of W-1 ring hops — often the better
+trade when H >= W and the interconnect is fast, and it composes with the
+ring variants (2D sp x hp meshes) for W > H.
+
+Per-shard, call inside shard_map. GQA: KV heads are repeated up to the
+query head count when Hkv < W so every shard keeps whole KV head groups
+(standard Ulysses practice).
+"""
+
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from ..ops.flash import flash_attention
+from ..ops.mask import MaskArgs
+from .mesh import ring_size
+
+
+def _a2a_seq_to_heads(x, axis_name):
+    """(B, H, S_local, D) -> (B, H/W, S_global, D)."""
+    return lax.all_to_all(x, axis_name, split_axis=1, concat_axis=2,
+                          tiled=True)
+
+
+def _a2a_heads_to_seq(x, axis_name):
+    """(B, H/W, S_global, D) -> (B, H, S_local, D)."""
+    return lax.all_to_all(x, axis_name, split_axis=2, concat_axis=1,
+                          tiled=True)
+
+
+def ulysses_attention(q, k, v, *, scale, causal, axis_name, backend=None):
+    """Differentiable Ulysses attention on per-shard (B, H, S_local, D)
+    tensors (sequence-sharded, contiguous layout). Returns
+    (out in q.dtype, lse fp32 (B, H, S_local))."""
+    w = ring_size(axis_name)
+    hq, hkv = q.shape[1], k.shape[1]
+    assert hq % w == 0, (
+        f"Ulysses needs q heads ({hq}) divisible by the axis size ({w}); "
+        "compose with a ring axis otherwise"
+    )
+    if hkv % w != 0:
+        rep = w // hkv if w % hkv == 0 else None
+        assert rep, (hkv, w)
+        k = jnp.repeat(k, rep, axis=1)
+        v = jnp.repeat(v, rep, axis=1)
+
+    qh = _a2a_seq_to_heads(q, axis_name)
+    kh = _a2a_seq_to_heads(k, axis_name)
+    vh = _a2a_seq_to_heads(v, axis_name)
+    out, lse = flash_attention(
+        qh, kh, vh, scale, MaskArgs(causal=causal), backend
+    )
+    out = _a2a_heads_to_seq(out, axis_name)
+    # lse (B, H/W, S_global) -> (B, H, S_local): same a2a with a dummy dim
+    lse = _a2a_heads_to_seq(lse[..., None], axis_name)[..., 0]
+    return out, lse
