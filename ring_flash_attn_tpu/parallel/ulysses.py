@@ -60,3 +60,51 @@ def ulysses_attention(q, k, v, *, scale, causal, axis_name, backend=None):
     # lse (B, H/W, S_global) -> (B, H, S_local): same a2a with a dummy dim
     lse = _a2a_heads_to_seq(lse[..., None], axis_name)[..., 0]
     return out, lse
+
+
+def usp_attention(q, k, v, *, scale, causal, ulysses_axis, ring_axis,
+                  variant="ring", backend=None):
+    """2D sequence parallelism (USP, arXiv:2405.07719): Ulysses A2A over one
+    mesh axis composed with a KV ring over another — EXTENSION beyond the
+    reference. Scales context parallelism past the head count.
+
+    Sequence layout: contiguous over (ring_axis major, ulysses_axis minor);
+    the A2A converts the ulysses-axis sequence sharding into head sharding,
+    then the ring variant runs over ring_axis per head group.
+    q/k/v per-shard (B, H, S_local, D)."""
+    from .ring import ring_attention
+    from .stripe import stripe_attention
+    from .zigzag import zigzag_ring_attention
+
+    w = ring_size(ulysses_axis)
+    hq, hkv = q.shape[1], k.shape[1]
+    assert hq % w == 0, (hq, w)
+    if hkv % w != 0:
+        rep = w // hkv if w % hkv == 0 else None
+        assert rep, (hkv, w)
+        k = jnp.repeat(k, rep, axis=1)
+        v = jnp.repeat(v, rep, axis=1)
+
+    qh = _a2a_seq_to_heads(q, ulysses_axis)
+    kh = _a2a_seq_to_heads(k, ulysses_axis)
+    vh = _a2a_seq_to_heads(v, ulysses_axis)
+    if variant == "ring":
+        out, lse = ring_attention(
+            qh, kh, vh, scale=scale, causal=causal, axis_name=ring_axis,
+            backend=backend,
+        )
+    elif variant == "zigzag":
+        assert causal
+        out, lse = zigzag_ring_attention(
+            qh, kh, vh, scale=scale, axis_name=ring_axis, backend=backend
+        )
+    elif variant == "stripe":
+        assert causal
+        out, lse = stripe_attention(
+            qh, kh, vh, scale=scale, axis_name=ring_axis, backend=backend
+        )
+    else:
+        raise ValueError(variant)
+    out = _a2a_heads_to_seq(out, ulysses_axis)
+    lse = _a2a_heads_to_seq(lse[..., None], ulysses_axis)[..., 0]
+    return out, lse
