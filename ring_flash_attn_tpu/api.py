@@ -11,10 +11,13 @@ axis, exactly as the reference's are called per torchrun rank.
 Layout follows flash-attn: batch API q (B, S, H, D); varlen API packed
 q (T, H, D) + cu_seqlens. Internally everything runs (B, H, S, D).
 
-Feature gates mirror the reference's documented limits (README.md:152-160):
-dropout unsupported, window_size unsupported, alibi unsupported
+Feature gates mirror the reference's documented limits (README.md:152-160)
+where we have not lifted them: dropout unsupported, alibi unsupported
 (reference asserts alibi_slopes is None, ring_flash_attn.py:176);
 deterministic is a no-op (this implementation is always deterministic).
+EXTENSIONS over the reference: softcap (Gemma-2 tanh capping) is supported
+everywhere (the reference forces softcap=0.0, utils.py:19-20), and causal
+sliding windows on the single-device path.
 """
 
 import jax.numpy as jnp
@@ -99,6 +102,11 @@ def _scale(softmax_scale, d):
     return softmax_scale if softmax_scale is not None else d**-0.5
 
 
+def _cap(softcap):
+    # flash-attn convention: 0.0 disables capping
+    return float(softcap) if softcap else None
+
+
 # ---------------------------------------------------------------------------
 # Single-device flash attention (the oracle / L1 API)
 # ---------------------------------------------------------------------------
@@ -107,7 +115,8 @@ def _scale(softmax_scale, d):
 def flash_attn_func(
     q, k, v,
     dropout_p=0.0, softmax_scale=None, causal=False,
-    window_size=(-1, -1), alibi_slopes=None, deterministic=False,
+    window_size=(-1, -1), softcap=0.0, alibi_slopes=None,
+    deterministic=False,
     return_attn_probs=False,
 ):
     """Single-device flash attention, q/k/v (B, S, H, D). Supports causal
@@ -120,7 +129,8 @@ def flash_attn_func(
     out, lse = _flash_attention(
         _bshd_to_bhsd(q), _bshd_to_bhsd(k), _bshd_to_bhsd(v),
         _scale(softmax_scale, q.shape[-1]),
-        MaskArgs(causal=causal, window_left=window_left),
+        MaskArgs(causal=causal, window_left=window_left,
+                 softcap=_cap(softcap)),
     )
     return _ret(out, lse, return_attn_probs)
 
@@ -136,7 +146,8 @@ def flash_attn_qkvpacked_func(qkv, **kw):
 def flash_attn_varlen_func(
     q, k, v, cu_seqlens, max_seqlen=None,
     dropout_p=0.0, softmax_scale=None, causal=False,
-    window_size=(-1, -1), alibi_slopes=None, deterministic=False,
+    window_size=(-1, -1), softcap=0.0, alibi_slopes=None,
+    deterministic=False,
     return_attn_probs=False,
 ):
     """Single-device varlen flash attention, q/k/v packed (T, H, D)."""
@@ -147,6 +158,7 @@ def flash_attn_varlen_func(
     mask = MaskArgs(
         causal=causal, q_segids=seg, kv_segids=seg,
         q_pos=pos if causal else None, kv_pos=pos if causal else None,
+        softcap=_cap(softcap),
     )
     out, lse = _flash_attention(
         q.transpose(1, 0, 2)[None], k.transpose(1, 0, 2)[None],
@@ -181,7 +193,8 @@ def _batch_variant(schedule_kw):
     def func(
         q, k, v,
         dropout_p=0.0, softmax_scale=None, causal=False,
-        window_size=(-1, -1), alibi_slopes=None, deterministic=False,
+        window_size=(-1, -1), softcap=0.0, alibi_slopes=None,
+    deterministic=False,
         return_attn_probs=False, group=None,
     ):
         _check_unsupported(dropout_p, window_size, alibi_slopes)
@@ -191,7 +204,8 @@ def _batch_variant(schedule_kw):
         axis = _axis(group)
         if kind == "ring":
             out, lse = ring_attention(
-                qi, ki, vi, scale=scale, causal=causal, axis_name=axis
+                qi, ki, vi, scale=scale, causal=causal, axis_name=axis,
+                softcap=_cap(softcap),
             )
         elif kind == "zigzag":
             if not causal:
@@ -200,7 +214,8 @@ def _batch_variant(schedule_kw):
                     "asserts the same, zigzag_ring_flash_attn.py:19)"
                 )
             out, lse = zigzag_ring_attention(
-                qi, ki, vi, scale=scale, axis_name=axis
+                qi, ki, vi, scale=scale, axis_name=axis,
+                softcap=_cap(softcap),
             )
         elif kind == "stripe":
             if not causal:
@@ -209,7 +224,8 @@ def _batch_variant(schedule_kw):
                     "the same, stripe_flash_attn.py:19-21)"
                 )
             out, lse = stripe_attention(
-                qi, ki, vi, scale=scale, axis_name=axis
+                qi, ki, vi, scale=scale, axis_name=axis,
+                softcap=_cap(softcap),
             )
         else:
             raise AssertionError(kind)
@@ -253,7 +269,8 @@ stripe_flash_attn_qkvpacked_func = _qkvpacked(stripe_flash_attn_func)
 def ring_flash_attn_varlen_func(
     q, k, v, cu_seqlens, max_seqlen=None,
     dropout_p=0.0, softmax_scale=None, causal=False,
-    window_size=(-1, -1), alibi_slopes=None, deterministic=False,
+    window_size=(-1, -1), softcap=0.0, alibi_slopes=None,
+    deterministic=False,
     return_attn_probs=False, group=None,
 ):
     """Varlen ring attention. q/k/v (T_local, H, D) packed; cu_seqlens is
@@ -269,7 +286,7 @@ def ring_flash_attn_varlen_func(
         q.transpose(1, 0, 2)[None], k.transpose(1, 0, 2)[None],
         v.transpose(1, 0, 2)[None], seg, pos,
         scale=_scale(softmax_scale, q.shape[-1]), causal=causal,
-        axis_name=axis,
+        axis_name=axis, softcap=_cap(softcap),
     )
     out = out[0].transpose(1, 0, 2)
     if return_attn_probs:
@@ -294,7 +311,8 @@ def ring_flash_attn_varlen_qkvpacked_func(qkv, cu_seqlens, max_seqlen=None,
 def zigzag_ring_flash_attn_varlen_func(
     q, k, v, cu_seqlens, max_seqlen=None,
     dropout_p=0.0, softmax_scale=None, causal=True,
-    window_size=(-1, -1), alibi_slopes=None, deterministic=False,
+    window_size=(-1, -1), softcap=0.0, alibi_slopes=None,
+    deterministic=False,
     return_attn_probs=False, group=None,
 ):
     """Zigzag varlen ring attention (grouped layout — see
@@ -314,6 +332,7 @@ def zigzag_ring_flash_attn_varlen_func(
         q.transpose(1, 0, 2)[None], k.transpose(1, 0, 2)[None],
         v.transpose(1, 0, 2)[None], seg, pos,
         scale=_scale(softmax_scale, q.shape[-1]), axis_name=axis,
+        softcap=_cap(softcap),
     )
     out = out[0].transpose(1, 0, 2)
     if return_attn_probs:
@@ -386,7 +405,8 @@ def llama3_flash_attn_varlen_func(
     q, k, v, cu_seqlens_q, cu_seqlens_k, max_seqlen_q=None, max_seqlen_k=None,
     heads_k_stride=None, local_k_slice=None,
     dropout_p=0.0, softmax_scale=None, causal=True,
-    window_size=(-1, -1), alibi_slopes=None, deterministic=False,
+    window_size=(-1, -1), softcap=0.0, alibi_slopes=None,
+    deterministic=False,
     return_attn_probs=False, group=None,
 ):
     """Llama-3 all-gather context parallelism over packed sequences.
@@ -416,6 +436,7 @@ def llama3_flash_attn_varlen_func(
         v.transpose(1, 0, 2)[None], q_segids,
         scale=_scale(softmax_scale, q.shape[-1]), causal=causal,
         heads_k_stride=heads_k_stride, axis_name=axis,
+        softcap=_cap(softcap),
     )
     out = out[0].transpose(1, 0, 2)
     if return_attn_probs:

@@ -22,6 +22,12 @@ breaks tiling, so we instead parameterize the kernel's mask:
                     (reference ring_flash_attn_varlen.py:56-59).
 
 All fields are optional and combinable; `None` means "no constraint".
+
+MaskArgs also carries the static logit transform ``softcap`` (Gemma-2 style
+tanh capping, ``s -> softcap * tanh(s / softcap)`` applied after the softmax
+scale, before masking). flash-attn supports softcap natively; the reference
+forcibly zeroes it (reference utils.py:19-20) — supporting it here is a
+capability extension.
 """
 
 from typing import NamedTuple, Optional, Any
@@ -46,6 +52,9 @@ class MaskArgs(NamedTuple):
     # window_left (static int, None = unlimited). flash-attn's
     # window_size[0]; combined with `causal`.
     window_left: Optional[int] = None
+    # tanh logit capping: s -> softcap * tanh(s / softcap) (static float,
+    # None/0 = disabled). Applied to scaled logits before masking.
+    softcap: Optional[float] = None
 
     @property
     def has_position_mask(self):

@@ -35,6 +35,8 @@ def naive_block_fwd(q, k, v, scale, mask: MaskArgs):
         "bhgqd,bhkd->bhgqk", qf, k.astype(jnp.float32),
         preferred_element_type=jnp.float32,
     ) * scale
+    if mask.softcap:
+        s = mask.softcap * jnp.tanh(s / mask.softcap)
     s = mask_logits(s, mask)
     m = jnp.max(s, axis=-1, keepdims=True)
     p = jnp.exp(s - m)
@@ -78,11 +80,18 @@ def naive_block_bwd(dout, q, k, v, lse, delta, scale, mask: MaskArgs):
     s = jnp.einsum(
         "bhgqd,bhkd->bhgqk", qf, kf, preferred_element_type=jnp.float32
     ) * scale
+    if mask.softcap:
+        # s_cap = cap * tanh(s / cap); d s_cap/d s = 1 - tanh^2 = 1 - (s_cap/cap)^2
+        t = jnp.tanh(s / mask.softcap)
+        s = mask.softcap * t
+        dcap = 1.0 - t * t
     s = mask_logits(s, mask)
     p = jnp.exp(s - lsef)
     dv = jnp.einsum("bhgqk,bhgqd->bhkd", p, doutf, preferred_element_type=jnp.float32)
     dp = jnp.einsum("bhgqd,bhkd->bhgqk", doutf, vf, preferred_element_type=jnp.float32)
     ds = p * (dp - deltaf) * scale
+    if mask.softcap:
+        ds = ds * dcap
     dq = jnp.einsum("bhgqk,bhkd->bhgqd", ds, kf, preferred_element_type=jnp.float32)
     dk = jnp.einsum("bhgqk,bhgqd->bhkd", ds, qf, preferred_element_type=jnp.float32)
     return dq.reshape(b, hq, sq, d), dk, dv

@@ -69,6 +69,7 @@ def _dq_kernel(
     triangular,
     static_offset,
     window_left,
+    softcap,
     blk_q,
     blk_kv,
     num_kv_blocks,
@@ -143,6 +144,10 @@ def _dq_kernel(
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # (blk_q, blk_kv) base-2 logits (scale * log2e folded into qs)
+        if softcap:
+            cap2 = jnp.float32(softcap * _LOG2E)
+            t = jnp.tanh(s * (1.0 / cap2))
+            s = cap2 * t
         if masked:
             s = jnp.where(_allowed(), s, NEG_INF)
         pr = jnp.exp2(s - lse_ref[0, 0])  # = p * scale (lse pre-shifted)
@@ -153,6 +158,9 @@ def _dq_kernel(
             preferred_element_type=jnp.float32,
         )
         ds = pr * (dp - delta_ref[0, 0])
+        if softcap:
+            # chain rule through the cap: d s_cap/d s = 1 - tanh^2
+            ds = ds * (1.0 - t * t)
         dq_s[...] += jax.lax.dot_general(
             ds.astype(k_ref.dtype),
             k_ref[0, 0],
@@ -200,6 +208,7 @@ def _dkv_kernel(
     use_positions,
     use_segments,
     window_left,
+    softcap,
     blk_q,
     blk_kv,
 ):
@@ -258,6 +267,10 @@ def _dkv_kernel(
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # (blk_kv, blk_q) base-2 logits^T
+        if softcap:
+            cap2 = jnp.float32(softcap * _LOG2E)
+            t = jnp.tanh(s_t * (1.0 / cap2))
+            s_t = cap2 * t
         if masked:
             s_t = jnp.where(_allowed_t(), s_t, NEG_INF)
         p_t = jnp.exp2(s_t - lse_ref[0, 0].reshape(1, blk_q))
@@ -274,6 +287,8 @@ def _dkv_kernel(
             preferred_element_type=jnp.float32,
         )
         ds_t = p_t * (dp_t - delta_ref[0, 0].reshape(1, blk_q))
+        if softcap:
+            ds_t = ds_t * (1.0 - t * t)
         dk_s[...] += jax.lax.dot_general(
             ds_t.astype(qs_ref.dtype),
             qs_ref[0, 0],
@@ -414,6 +429,7 @@ def _dq(dout, qs, k, v, lse_adj, delta, mask, blk_q, blk_kv, interpret):
         triangular=triangular,
         static_offset=static_offset,
         window_left=mask.window_left,
+        softcap=mask.softcap,
         blk_q=blk_q,
         blk_kv=blk_kv,
         num_kv_blocks=n_kv,
@@ -524,6 +540,7 @@ def _dkv(dout, qs, k, v, lse, delta, mask, blk_q, blk_kv, interpret):
         use_positions=use_positions,
         use_segments=use_segments,
         window_left=mask.window_left,
+        softcap=mask.softcap,
         blk_q=blk_q,
         blk_kv=blk_kv,
     )

@@ -64,6 +64,7 @@ def _fwd_kernel(
     triangular,
     static_offset,
     window_left,
+    softcap,
     blk_q,
     blk_kv,
     num_kv_blocks,
@@ -139,12 +140,19 @@ def _fwd_kernel(
         # q arrives pre-scaled by softmax_scale. Feed the MXU its native
         # input dtype (bf16 in, f32 accumulate); casting inputs to f32 first
         # would quarter the matmul rate.
-        return jax.lax.dot_general(
+        s = jax.lax.dot_general(
             q_ref[0, 0],
             k_ref[0, 0],
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # (blk_q, blk_kv) f32
+        if softcap:
+            # Logits are in base-2 units (log2e folded into q), so the cap
+            # scales the same way: cap2 * tanh(s2 / cap2) == log2e * the
+            # natural-units capped logit.
+            cap2 = jnp.float32(softcap * _LOG2E)
+            s = cap2 * jnp.tanh(s * (1.0 / cap2))
+        return s
 
     def _update(s):
         """Online-softmax state update with block logits s (blk_q, blk_kv).
@@ -346,6 +354,7 @@ def pallas_block_fwd(q, k, v, scale, mask: MaskArgs, interpret=False,
         triangular=triangular,
         static_offset=static_offset,
         window_left=mask.window_left,
+        softcap=mask.softcap,
         blk_q=blk_q,
         blk_kv=blk_kv,
         num_kv_blocks=n_kv,

@@ -35,7 +35,7 @@ def _gather_chunk(kv, i, stride, axis_name):
 
 
 def _llama3_fwd(q, k, v, q_segids, scale, causal, heads_k_stride,
-                axis_name, backend):
+                axis_name, backend, softcap=None):
     w = ring_size(axis_name)
     rank = ring_rank(axis_name)
     b, hq, l, d = q.shape
@@ -66,6 +66,7 @@ def _llama3_fwd(q, k, v, q_segids, scale, causal, heads_k_stride,
             offset=offset if causal else None,
             q_segids=q_segids,
             kv_segids=kv_segids,
+            softcap=softcap,
         )
         o_i, lse_i = block_fwd(
             q_i, gathered[0], gathered[1], scale, mask, backend
@@ -77,7 +78,7 @@ def _llama3_fwd(q, k, v, q_segids, scale, causal, heads_k_stride,
 
 
 def _llama3_bwd(q, k, v, q_segids, out, lse, dout, scale, causal,
-                heads_k_stride, axis_name, backend):
+                heads_k_stride, axis_name, backend, softcap=None):
     w = ring_size(axis_name)
     rank = ring_rank(axis_name)
     b, hq, l, d = q.shape
@@ -106,6 +107,7 @@ def _llama3_bwd(q, k, v, q_segids, out, lse, dout, scale, causal,
             offset=offset if causal else None,
             q_segids=q_segids,
             kv_segids=kv_segids,
+            softcap=softcap,
         )
         dq_i, dk_g, dv_g = block_bwd(
             dout[:, hs], q[:, hs], gathered[0], gathered[1],
@@ -126,7 +128,8 @@ def _llama3_bwd(q, k, v, q_segids, out, lse, dout, scale, causal,
 
 
 def llama3_attention(q, k, v, q_segids=None, *, scale, causal=True,
-                     heads_k_stride=None, axis_name, backend=None):
+                     heads_k_stride=None, axis_name, backend=None,
+                     softcap=None):
     """Differentiable llama3 all-gather attention on per-shard (B,H,S,D).
 
     q/k/v sharded contiguously along S (packed tokens when varlen;
@@ -144,14 +147,14 @@ def llama3_attention(q, k, v, q_segids=None, *, scale, causal=True,
     def f(q, k, v, q_segids):
         out, lse = _llama3_fwd(
             q, k, v, q_segids, scale, causal, heads_k_stride, axis_name,
-            backend,
+            backend, softcap,
         )
         return out.astype(q.dtype), lse
 
     def f_fwd(q, k, v, q_segids):
         out, lse = _llama3_fwd(
             q, k, v, q_segids, scale, causal, heads_k_stride, axis_name,
-            backend,
+            backend, softcap,
         )
         out = out.astype(q.dtype)
         return (out, lse), (q, k, v, q_segids, out, lse)
@@ -161,7 +164,7 @@ def llama3_attention(q, k, v, q_segids=None, *, scale, causal=True,
         dout, _ = grads
         dq, dk, dv = _llama3_bwd(
             q, k, v, q_segids, out, lse, dout, scale, causal,
-            heads_k_stride, axis_name, backend,
+            heads_k_stride, axis_name, backend, softcap,
         )
         return (
             dq.astype(q.dtype),

@@ -29,7 +29,8 @@ from ..ops.merge import merge_partials
 from .mesh import ring_rotate, ring_size, ring_rank
 
 
-def _ring_fwd(q, k, v, scale, causal, axis_name, backend):
+def _ring_fwd(q, k, v, scale, causal, axis_name, backend, softcap=None):
+    M = lambda **kw: MaskArgs(softcap=softcap, **kw)
     w = ring_size(axis_name)
     rank = ring_rank(axis_name)
     kv = jnp.stack([k, v])
@@ -43,11 +44,11 @@ def _ring_fwd(q, k, v, scale, causal, axis_name, backend):
         kk, vv = kv[0], kv[1]
         if step == 0:
             b_out, b_lse = block_fwd(
-                q, kk, vv, scale, MaskArgs(causal=causal), backend
+                q, kk, vv, scale, M(causal=causal), backend
             )
             out, lse = merge_partials(None, None, b_out, b_lse)
         elif not causal:
-            b_out, b_lse = block_fwd(q, kk, vv, scale, MaskArgs(), backend)
+            b_out, b_lse = block_fwd(q, kk, vv, scale, M(), backend)
             out, lse = merge_partials(out, lse, b_out, b_lse)
         else:
             # causal: the kv resident at step s came from rank r-s; ranks
@@ -55,7 +56,7 @@ def _ring_fwd(q, k, v, scale, causal, axis_name, backend):
             # (reference :30).
             def _compute(args, kk=kk, vv=vv):
                 out, lse = args
-                b_out, b_lse = block_fwd(q, kk, vv, scale, MaskArgs(), backend)
+                b_out, b_lse = block_fwd(q, kk, vv, scale, M(), backend)
                 return merge_partials(out, lse, b_out, b_lse)
 
             out, lse = lax.cond(step <= rank, _compute, lambda a: a, (out, lse))
@@ -64,7 +65,9 @@ def _ring_fwd(q, k, v, scale, causal, axis_name, backend):
     return out, lse
 
 
-def _ring_bwd(q, k, v, out, lse, dout, scale, causal, axis_name, backend):
+def _ring_bwd(q, k, v, out, lse, dout, scale, causal, axis_name, backend,
+              softcap=None):
+    M = lambda **kw: MaskArgs(softcap=softcap, **kw)
     w = ring_size(axis_name)
     rank = ring_rank(axis_name)
     delta = compute_delta(dout, out)
@@ -79,13 +82,13 @@ def _ring_bwd(q, k, v, out, lse, dout, scale, causal, axis_name, backend):
         if step == 0:
             b_dq, b_dk, b_dv = block_bwd(
                 dout, q, kk, vv, lse, delta, scale,
-                MaskArgs(causal=causal), backend,
+                M(causal=causal), backend,
             )
             dq = dq + b_dq
             dkv = dkv + jnp.stack([b_dk, b_dv])
         elif not causal:
             b_dq, b_dk, b_dv = block_bwd(
-                dout, q, kk, vv, lse, delta, scale, MaskArgs(), backend
+                dout, q, kk, vv, lse, delta, scale, M(), backend
             )
             dq = dq + b_dq
             dkv = dkv + jnp.stack([b_dk, b_dv])
@@ -94,7 +97,7 @@ def _ring_bwd(q, k, v, out, lse, dout, scale, causal, axis_name, backend):
             def _compute(args, kk=kk, vv=vv):
                 dq, dkv = args
                 b_dq, b_dk, b_dv = block_bwd(
-                    dout, q, kk, vv, lse, delta, scale, MaskArgs(), backend
+                    dout, q, kk, vv, lse, delta, scale, M(), backend
                 )
                 return dq + b_dq, dkv + jnp.stack([b_dk, b_dv])
 
@@ -107,7 +110,8 @@ def _ring_bwd(q, k, v, out, lse, dout, scale, causal, axis_name, backend):
     return dq, dkv[0], dkv[1]
 
 
-def ring_attention(q, k, v, *, scale, causal, axis_name, backend=None):
+def ring_attention(q, k, v, *, scale, causal, axis_name, backend=None,
+                   softcap=None):
     """Differentiable basic ring attention on per-shard (B,H,S,D) tensors.
 
     Must be called inside shard_map with q/k/v sharded contiguously along S
@@ -116,11 +120,13 @@ def ring_attention(q, k, v, *, scale, causal, axis_name, backend=None):
 
     @jax.custom_vjp
     def f(q, k, v):
-        out, lse = _ring_fwd(q, k, v, scale, causal, axis_name, backend)
+        out, lse = _ring_fwd(q, k, v, scale, causal, axis_name, backend,
+                             softcap)
         return out.astype(q.dtype), lse
 
     def f_fwd(q, k, v):
-        out, lse = _ring_fwd(q, k, v, scale, causal, axis_name, backend)
+        out, lse = _ring_fwd(q, k, v, scale, causal, axis_name, backend,
+                             softcap)
         out = out.astype(q.dtype)
         return (out, lse), (q, k, v, out, lse)
 
@@ -128,7 +134,8 @@ def ring_attention(q, k, v, *, scale, causal, axis_name, backend=None):
         q, k, v, out, lse = res
         dout, _ = grads
         dq, dk, dv = _ring_bwd(
-            q, k, v, out, lse, dout, scale, causal, axis_name, backend
+            q, k, v, out, lse, dout, scale, causal, axis_name, backend,
+            softcap,
         )
         return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)
 

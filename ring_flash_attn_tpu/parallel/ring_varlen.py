@@ -31,7 +31,8 @@ from ..ops.merge import merge_partials
 from .mesh import ring_rotate, ring_size, ring_rank
 
 
-def _fwd(q, k, v, segids, pos, scale, causal, axis_name, backend):
+def _fwd(q, k, v, segids, pos, scale, causal, axis_name, backend,
+         softcap=None):
     w = ring_size(axis_name)
     rank = ring_rank(axis_name)
     kv = jnp.stack([k, v])
@@ -43,21 +44,23 @@ def _fwd(q, k, v, segids, pos, scale, causal, axis_name, backend):
         kk, vv = kv[0], kv[1]
         if step == 0:
             mask = MaskArgs(
-                causal=causal, q_segids=segids, kv_segids=kseg,
+                softcap=softcap, causal=causal, q_segids=segids, kv_segids=kseg,
                 q_pos=pos if causal else None,
                 kv_pos=pos if causal else None,
             )
             b_out, b_lse = block_fwd(q, kk, vv, scale, mask, backend)
             out, lse = merge_partials(None, None, b_out, b_lse)
         elif not causal:
-            mask = MaskArgs(q_segids=segids, kv_segids=kseg)
+            mask = MaskArgs(q_segids=segids, kv_segids=kseg,
+                            softcap=softcap)
             b_out, b_lse = block_fwd(q, kk, vv, scale, mask, backend)
             out, lse = merge_partials(out, lse, b_out, b_lse)
         else:
 
             def _compute(args, kk=kk, vv=vv, kseg=kseg):
                 out, lse = args
-                mask = MaskArgs(q_segids=segids, kv_segids=kseg)
+                mask = MaskArgs(q_segids=segids, kv_segids=kseg,
+                            softcap=softcap)
                 b_out, b_lse = block_fwd(q, kk, vv, scale, mask, backend)
                 return merge_partials(out, lse, b_out, b_lse)
 
@@ -67,7 +70,7 @@ def _fwd(q, k, v, segids, pos, scale, causal, axis_name, backend):
 
 
 def _bwd(q, k, v, segids, pos, out, lse, dout, scale, causal, axis_name,
-         backend):
+         backend, softcap=None):
     w = ring_size(axis_name)
     rank = ring_rank(axis_name)
     delta = compute_delta(dout, out)
@@ -81,7 +84,7 @@ def _bwd(q, k, v, segids, pos, out, lse, dout, scale, causal, axis_name,
         kk, vv = kv[0], kv[1]
         if step == 0:
             mask = MaskArgs(
-                causal=causal, q_segids=segids, kv_segids=kseg,
+                softcap=softcap, causal=causal, q_segids=segids, kv_segids=kseg,
                 q_pos=pos if causal else None,
                 kv_pos=pos if causal else None,
             )
@@ -91,7 +94,8 @@ def _bwd(q, k, v, segids, pos, out, lse, dout, scale, causal, axis_name,
             dq = dq + b_dq
             dkv = dkv + jnp.stack([b_dk, b_dv])
         elif not causal:
-            mask = MaskArgs(q_segids=segids, kv_segids=kseg)
+            mask = MaskArgs(q_segids=segids, kv_segids=kseg,
+                            softcap=softcap)
             b_dq, b_dk, b_dv = block_bwd(
                 dout, q, kk, vv, lse, delta, scale, mask, backend
             )
@@ -101,7 +105,8 @@ def _bwd(q, k, v, segids, pos, out, lse, dout, scale, causal, axis_name,
 
             def _compute(args, kk=kk, vv=vv, kseg=kseg):
                 dq, dkv = args
-                mask = MaskArgs(q_segids=segids, kv_segids=kseg)
+                mask = MaskArgs(q_segids=segids, kv_segids=kseg,
+                            softcap=softcap)
                 b_dq, b_dk, b_dv = block_bwd(
                     dout, q, kk, vv, lse, delta, scale, mask, backend
                 )
@@ -114,7 +119,7 @@ def _bwd(q, k, v, segids, pos, out, lse, dout, scale, causal, axis_name,
 
 
 def ring_attention_varlen(q, k, v, segids, positions, *, scale, causal,
-                          axis_name, backend=None):
+                          axis_name, backend=None, softcap=None):
     """Differentiable varlen ring attention on per-shard packed (B,H,T,D).
 
     segids/positions: (T_local,) int32 per ops.varlen.ring_varlen_info.
@@ -124,13 +129,15 @@ def ring_attention_varlen(q, k, v, segids, positions, *, scale, causal,
     @jax.custom_vjp
     def f(q, k, v, segids, positions):
         out, lse = _fwd(
-            q, k, v, segids, positions, scale, causal, axis_name, backend
+            q, k, v, segids, positions, scale, causal, axis_name, backend,
+            softcap,
         )
         return out.astype(q.dtype), lse
 
     def f_fwd(q, k, v, segids, positions):
         out, lse = _fwd(
-            q, k, v, segids, positions, scale, causal, axis_name, backend
+            q, k, v, segids, positions, scale, causal, axis_name, backend,
+            softcap,
         )
         out = out.astype(q.dtype)
         return (out, lse), (q, k, v, segids, positions, out, lse)
@@ -140,7 +147,7 @@ def ring_attention_varlen(q, k, v, segids, positions, *, scale, causal,
         dout, _ = grads
         dq, dk, dv = _bwd(
             q, k, v, segids, positions, out, lse, dout, scale, causal,
-            axis_name, backend,
+            axis_name, backend, softcap,
         )
         return (
             dq.astype(q.dtype),

@@ -31,7 +31,8 @@ from ..ops.merge import merge_partials
 from .mesh import ring_rotate, ring_size, ring_rank
 
 
-def _stripe_fwd(q, k, v, scale, axis_name, backend):
+def _stripe_fwd(q, k, v, scale, axis_name, backend, softcap=None):
+    M = lambda **kw: MaskArgs(softcap=softcap, **kw)
     w = ring_size(axis_name)
     rank = ring_rank(axis_name)
     kv = jnp.stack([k, v])
@@ -41,7 +42,7 @@ def _stripe_fwd(q, k, v, scale, axis_name, backend):
         kk, vv = kv[0], kv[1]
         if step == 0:
             b_out, b_lse = block_fwd(
-                q, kk, vv, scale, MaskArgs(causal=True), backend
+                q, kk, vv, scale, M(causal=True), backend
             )
             out, lse = merge_partials(None, None, b_out, b_lse)
         else:
@@ -49,14 +50,14 @@ def _stripe_fwd(q, k, v, scale, axis_name, backend):
             def _behind(args, kk=kk, vv=vv):
                 out, lse = args
                 b_out, b_lse = block_fwd(
-                    q, kk, vv, scale, MaskArgs(causal=True), backend
+                    q, kk, vv, scale, M(causal=True), backend
                 )
                 return merge_partials(out, lse, b_out, b_lse)
 
             def _ahead(args, kk=kk, vv=vv):
                 out, lse = args
                 b_out, b_lse = block_fwd(
-                    q, kk, vv, scale, MaskArgs(causal=True, offset=-1), backend
+                    q, kk, vv, scale, M(causal=True, offset=-1), backend
                 )
                 return merge_partials(out, lse, b_out, b_lse)
 
@@ -66,7 +67,9 @@ def _stripe_fwd(q, k, v, scale, axis_name, backend):
     return out, lse
 
 
-def _stripe_bwd(q, k, v, out, lse, dout, scale, axis_name, backend):
+def _stripe_bwd(q, k, v, out, lse, dout, scale, axis_name, backend,
+                softcap=None):
+    M = lambda **kw: MaskArgs(softcap=softcap, **kw)
     w = ring_size(axis_name)
     rank = ring_rank(axis_name)
     delta = compute_delta(dout, out)
@@ -80,7 +83,7 @@ def _stripe_bwd(q, k, v, out, lse, dout, scale, axis_name, backend):
         if step == 0:
             b_dq, b_dk, b_dv = block_bwd(
                 dout, q, kk, vv, lse, delta, scale,
-                MaskArgs(causal=True), backend,
+                M(causal=True), backend,
             )
             dq = dq + b_dq
             dkv = dkv + jnp.stack([b_dk, b_dv])
@@ -90,7 +93,7 @@ def _stripe_bwd(q, k, v, out, lse, dout, scale, axis_name, backend):
                 dq, dkv = args
                 b_dq, b_dk, b_dv = block_bwd(
                     dout, q, kk, vv, lse, delta, scale,
-                    MaskArgs(causal=True), backend,
+                    M(causal=True), backend,
                 )
                 return dq + b_dq, dkv + jnp.stack([b_dk, b_dv])
 
@@ -98,7 +101,7 @@ def _stripe_bwd(q, k, v, out, lse, dout, scale, axis_name, backend):
                 dq, dkv = args
                 b_dq, b_dk, b_dv = block_bwd(
                     dout, q, kk, vv, lse, delta, scale,
-                    MaskArgs(causal=True, offset=-1), backend,
+                    M(causal=True, offset=-1), backend,
                 )
                 return dq + b_dq, dkv + jnp.stack([b_dk, b_dv])
 
@@ -109,7 +112,8 @@ def _stripe_bwd(q, k, v, out, lse, dout, scale, axis_name, backend):
     return dq, dkv[0], dkv[1]
 
 
-def stripe_attention(q, k, v, *, scale, axis_name, backend=None):
+def stripe_attention(q, k, v, *, scale, axis_name, backend=None,
+                     softcap=None):
     """Differentiable stripe attention on per-shard (B,H,S,D) tensors.
 
     Causal-only. q/k/v must be laid out per extract_local_stripe. Returns
@@ -118,11 +122,11 @@ def stripe_attention(q, k, v, *, scale, axis_name, backend=None):
 
     @jax.custom_vjp
     def f(q, k, v):
-        out, lse = _stripe_fwd(q, k, v, scale, axis_name, backend)
+        out, lse = _stripe_fwd(q, k, v, scale, axis_name, backend, softcap)
         return out.astype(q.dtype), lse
 
     def f_fwd(q, k, v):
-        out, lse = _stripe_fwd(q, k, v, scale, axis_name, backend)
+        out, lse = _stripe_fwd(q, k, v, scale, axis_name, backend, softcap)
         out = out.astype(q.dtype)
         return (out, lse), (q, k, v, out, lse)
 
@@ -130,7 +134,7 @@ def stripe_attention(q, k, v, *, scale, axis_name, backend=None):
         q, k, v, out, lse = res
         dout, _ = grads
         dq, dk, dv = _stripe_bwd(
-            q, k, v, out, lse, dout, scale, axis_name, backend
+            q, k, v, out, lse, dout, scale, axis_name, backend, softcap
         )
         return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)
 

@@ -34,7 +34,8 @@ def _a2a_heads_to_seq(x, axis_name):
                           tiled=True)
 
 
-def ulysses_attention(q, k, v, *, scale, causal, axis_name, backend=None):
+def ulysses_attention(q, k, v, *, scale, causal, axis_name, backend=None,
+                      softcap=None):
     """Differentiable Ulysses attention on per-shard (B, H, S_local, D)
     tensors (sequence-sharded, contiguous layout). Returns
     (out in q.dtype, lse fp32 (B, H, S_local))."""
@@ -54,7 +55,7 @@ def ulysses_attention(q, k, v, *, scale, causal, axis_name, backend=None):
     kh = _a2a_seq_to_heads(k, axis_name)
     vh = _a2a_seq_to_heads(v, axis_name)
     out, lse = flash_attention(
-        qh, kh, vh, scale, MaskArgs(causal=causal), backend
+        qh, kh, vh, scale, MaskArgs(causal=causal, softcap=softcap), backend
     )
     out = _a2a_heads_to_seq(out, axis_name)
     # lse (B, H/W, S_global) -> (B, H, S_local): same a2a with a dummy dim
@@ -63,7 +64,7 @@ def ulysses_attention(q, k, v, *, scale, causal, axis_name, backend=None):
 
 
 def usp_attention(q, k, v, *, scale, causal, ulysses_axis, ring_axis,
-                  variant="ring", backend=None):
+                  variant="ring", backend=None, softcap=None):
     """2D sequence parallelism (USP, arXiv:2405.07719): Ulysses A2A over one
     mesh axis composed with a KV ring over another — EXTENSION beyond the
     reference. Scales context parallelism past the head count.
@@ -91,17 +92,19 @@ def usp_attention(q, k, v, *, scale, causal, ulysses_axis, ring_axis,
     if variant == "ring":
         out, lse = ring_attention(
             qh, kh, vh, scale=scale, causal=causal, axis_name=ring_axis,
-            backend=backend,
+            backend=backend, softcap=softcap,
         )
     elif variant == "zigzag":
         assert causal
         out, lse = zigzag_ring_attention(
-            qh, kh, vh, scale=scale, axis_name=ring_axis, backend=backend
+            qh, kh, vh, scale=scale, axis_name=ring_axis, backend=backend,
+            softcap=softcap,
         )
     elif variant == "stripe":
         assert causal
         out, lse = stripe_attention(
-            qh, kh, vh, scale=scale, axis_name=ring_axis, backend=backend
+            qh, kh, vh, scale=scale, axis_name=ring_axis, backend=backend,
+            softcap=softcap,
         )
     else:
         raise ValueError(variant)

@@ -31,7 +31,8 @@ from ..ops.merge import merge_partials
 from .mesh import ring_rotate, ring_size, ring_rank
 
 
-def _zigzag_fwd(q, k, v, scale, axis_name, backend):
+def _zigzag_fwd(q, k, v, scale, axis_name, backend, softcap=None):
+    M = lambda **kw: MaskArgs(softcap=softcap, **kw)
     w = ring_size(axis_name)
     rank = ring_rank(axis_name)
     s_local = q.shape[2]
@@ -46,7 +47,7 @@ def _zigzag_fwd(q, k, v, scale, axis_name, backend):
 
         if step == 0:
             b_out, b_lse = block_fwd(
-                q, kk, vv, scale, MaskArgs(causal=True), backend
+                q, kk, vv, scale, M(causal=True), backend
             )
             out, lse = merge_partials(None, None, b_out, b_lse)
             kv = kv_next
@@ -58,7 +59,7 @@ def _zigzag_fwd(q, k, v, scale, axis_name, backend):
             out, lse = args
             b_out, b_lse = block_fwd(
                 q, kk[:, :, :half], vv[:, :, :half], scale,
-                MaskArgs(), backend,
+                M(), backend,
             )
             return merge_partials(out, lse, b_out, b_lse)
 
@@ -68,7 +69,7 @@ def _zigzag_fwd(q, k, v, scale, axis_name, backend):
             # full received kv; merge into the accumulator's second half.
             out, lse = args
             b_out, b_lse = block_fwd(
-                q[:, :, half:], kk, vv, scale, MaskArgs(), backend
+                q[:, :, half:], kk, vv, scale, M(), backend
             )
             m_out, m_lse = merge_partials(
                 out[:, :, half:], lse[:, :, half:], b_out, b_lse
@@ -82,7 +83,9 @@ def _zigzag_fwd(q, k, v, scale, axis_name, backend):
     return out, lse
 
 
-def _zigzag_bwd(q, k, v, out, lse, dout, scale, axis_name, backend):
+def _zigzag_bwd(q, k, v, out, lse, dout, scale, axis_name, backend,
+                softcap=None):
+    M = lambda **kw: MaskArgs(softcap=softcap, **kw)
     w = ring_size(axis_name)
     rank = ring_rank(axis_name)
     half = q.shape[2] // 2
@@ -103,7 +106,7 @@ def _zigzag_bwd(q, k, v, out, lse, dout, scale, axis_name, backend):
         if step == 0:
             b_dq, b_dk, b_dv = block_bwd(
                 dout, q, kk, vv, lse, delta, scale,
-                MaskArgs(causal=True), backend,
+                M(causal=True), backend,
             )
             dq = dq + b_dq
             dkv = dkv + jnp.stack([b_dk, b_dv])
@@ -115,7 +118,7 @@ def _zigzag_bwd(q, k, v, out, lse, dout, scale, axis_name, backend):
             dq, dkv = args
             b_dq, b_dk, b_dv = block_bwd(
                 dout, q, kk[:, :, :half], vv[:, :, :half], lse, delta,
-                scale, MaskArgs(), backend,
+                scale, M(), backend,
             )
             dkv_half = dkv[:, :, :, :half] + jnp.stack([b_dk, b_dv])
             dkv = lax.dynamic_update_slice_in_dim(dkv, dkv_half, 0, axis=3)
@@ -124,7 +127,7 @@ def _zigzag_bwd(q, k, v, out, lse, dout, scale, axis_name, backend):
         def _later(args, kk=kk, vv=vv):
             dq, dkv = args
             b_dq, b_dk, b_dv = block_bwd(
-                dout1, q1, kk, vv, lse1, delta1, scale, MaskArgs(), backend
+                dout1, q1, kk, vv, lse1, delta1, scale, M(), backend
             )
             dq_half = dq[:, :, half:] + b_dq
             dq = lax.dynamic_update_slice_in_dim(dq, dq_half, half, axis=2)
@@ -136,7 +139,8 @@ def _zigzag_bwd(q, k, v, out, lse, dout, scale, axis_name, backend):
     return dq, dkv[0], dkv[1]
 
 
-def zigzag_ring_attention(q, k, v, *, scale, axis_name, backend=None):
+def zigzag_ring_attention(q, k, v, *, scale, axis_name, backend=None,
+                          softcap=None):
     """Differentiable zigzag ring attention on per-shard (B,H,S,D) tensors.
 
     Causal-only. q/k/v must be laid out per extract_local_zigzag. Returns
@@ -145,11 +149,11 @@ def zigzag_ring_attention(q, k, v, *, scale, axis_name, backend=None):
 
     @jax.custom_vjp
     def f(q, k, v):
-        out, lse = _zigzag_fwd(q, k, v, scale, axis_name, backend)
+        out, lse = _zigzag_fwd(q, k, v, scale, axis_name, backend, softcap)
         return out.astype(q.dtype), lse
 
     def f_fwd(q, k, v):
-        out, lse = _zigzag_fwd(q, k, v, scale, axis_name, backend)
+        out, lse = _zigzag_fwd(q, k, v, scale, axis_name, backend, softcap)
         out = out.astype(q.dtype)
         return (out, lse), (q, k, v, out, lse)
 
@@ -157,7 +161,7 @@ def zigzag_ring_attention(q, k, v, *, scale, axis_name, backend=None):
         q, k, v, out, lse = res
         dout, _ = grads
         dq, dk, dv = _zigzag_bwd(
-            q, k, v, out, lse, dout, scale, axis_name, backend
+            q, k, v, out, lse, dout, scale, axis_name, backend, softcap
         )
         return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)
 

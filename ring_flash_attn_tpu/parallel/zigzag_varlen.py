@@ -26,7 +26,7 @@ from ..ops.merge import merge_partials
 from .mesh import ring_rotate, ring_size, ring_rank
 
 
-def _fwd(q, k, v, segids, pos, scale, axis_name, backend):
+def _fwd(q, k, v, segids, pos, scale, axis_name, backend, softcap=None):
     w = ring_size(axis_name)
     rank = ring_rank(axis_name)
     half = q.shape[2] // 2
@@ -39,7 +39,7 @@ def _fwd(q, k, v, segids, pos, scale, axis_name, backend):
         kk, vv = kv[0], kv[1]
         if step == 0:
             mask = MaskArgs(
-                causal=True, q_segids=segids, kv_segids=kseg,
+                softcap=softcap, causal=True, q_segids=segids, kv_segids=kseg,
                 q_pos=pos, kv_pos=pos,
             )
             b_out, b_lse = block_fwd(q, kk, vv, scale, mask, backend)
@@ -49,7 +49,8 @@ def _fwd(q, k, v, segids, pos, scale, axis_name, backend):
 
         def _earlier(args, kk=kk, vv=vv, kseg=kseg):
             out, lse = args
-            mask = MaskArgs(q_segids=segids, kv_segids=kseg[:half])
+            mask = MaskArgs(q_segids=segids, kv_segids=kseg[:half],
+                            softcap=softcap)
             b_out, b_lse = block_fwd(
                 q, kk[:, :, :half], vv[:, :, :half], scale, mask, backend
             )
@@ -57,7 +58,8 @@ def _fwd(q, k, v, segids, pos, scale, axis_name, backend):
 
         def _later(args, kk=kk, vv=vv, kseg=kseg):
             out, lse = args
-            mask = MaskArgs(q_segids=segids[half:], kv_segids=kseg)
+            mask = MaskArgs(q_segids=segids[half:], kv_segids=kseg,
+                            softcap=softcap)
             b_out, b_lse = block_fwd(
                 q[:, :, half:], kk, vv, scale, mask, backend
             )
@@ -73,7 +75,8 @@ def _fwd(q, k, v, segids, pos, scale, axis_name, backend):
     return out, lse
 
 
-def _bwd(q, k, v, segids, pos, out, lse, dout, scale, axis_name, backend):
+def _bwd(q, k, v, segids, pos, out, lse, dout, scale, axis_name, backend,
+         softcap=None):
     w = ring_size(axis_name)
     rank = ring_rank(axis_name)
     half = q.shape[2] // 2
@@ -93,7 +96,7 @@ def _bwd(q, k, v, segids, pos, out, lse, dout, scale, axis_name, backend):
 
         if step == 0:
             mask = MaskArgs(
-                causal=True, q_segids=segids, kv_segids=kseg,
+                softcap=softcap, causal=True, q_segids=segids, kv_segids=kseg,
                 q_pos=pos, kv_pos=pos,
             )
             b_dq, b_dk, b_dv = block_bwd(
@@ -107,7 +110,8 @@ def _bwd(q, k, v, segids, pos, out, lse, dout, scale, axis_name, backend):
 
         def _earlier(args, kk=kk, vv=vv, kseg=kseg):
             dq, dkv = args
-            mask = MaskArgs(q_segids=segids, kv_segids=kseg[:half])
+            mask = MaskArgs(q_segids=segids, kv_segids=kseg[:half],
+                            softcap=softcap)
             b_dq, b_dk, b_dv = block_bwd(
                 dout, q, kk[:, :, :half], vv[:, :, :half], lse, delta,
                 scale, mask, backend,
@@ -118,7 +122,8 @@ def _bwd(q, k, v, segids, pos, out, lse, dout, scale, axis_name, backend):
 
         def _later(args, kk=kk, vv=vv, kseg=kseg):
             dq, dkv = args
-            mask = MaskArgs(q_segids=seg1, kv_segids=kseg)
+            mask = MaskArgs(q_segids=seg1, kv_segids=kseg,
+                            softcap=softcap)
             b_dq, b_dk, b_dv = block_bwd(
                 dout1, q1, kk, vv, lse1, delta1, scale, mask, backend
             )
@@ -133,7 +138,7 @@ def _bwd(q, k, v, segids, pos, out, lse, dout, scale, axis_name, backend):
 
 
 def zigzag_ring_attention_varlen(q, k, v, segids, positions, *, scale,
-                                 axis_name, backend=None):
+                                 axis_name, backend=None, softcap=None):
     """Differentiable zigzag varlen ring attention (grouped layout).
 
     segids/positions: (T_local,) int32 per ops.varlen.zigzag_varlen_info.
@@ -142,11 +147,13 @@ def zigzag_ring_attention_varlen(q, k, v, segids, positions, *, scale,
 
     @jax.custom_vjp
     def f(q, k, v, segids, positions):
-        out, lse = _fwd(q, k, v, segids, positions, scale, axis_name, backend)
+        out, lse = _fwd(q, k, v, segids, positions, scale, axis_name, backend,
+                        softcap)
         return out.astype(q.dtype), lse
 
     def f_fwd(q, k, v, segids, positions):
-        out, lse = _fwd(q, k, v, segids, positions, scale, axis_name, backend)
+        out, lse = _fwd(q, k, v, segids, positions, scale, axis_name, backend,
+                        softcap)
         out = out.astype(q.dtype)
         return (out, lse), (q, k, v, segids, positions, out, lse)
 
@@ -155,7 +162,7 @@ def zigzag_ring_attention_varlen(q, k, v, segids, positions, *, scale,
         dout, _ = grads
         dq, dk, dv = _bwd(
             q, k, v, segids, positions, out, lse, dout, scale, axis_name,
-            backend,
+            backend, softcap,
         )
         return (
             dq.astype(q.dtype),
