@@ -54,7 +54,7 @@ def _axis(group):
 
 
 def _check_unsupported(dropout_p, window_size, alibi_slopes,
-                       allow_window=False):
+                       allow_window=False, allow_alibi=False):
     if dropout_p != 0.0:
         raise NotImplementedError(
             "dropout is not supported (the reference documents the same "
@@ -73,10 +73,13 @@ def _check_unsupported(dropout_p, window_size, alibi_slopes,
                 "window_size: only causal sliding windows (left, 0) on the "
                 "single-device flash path are supported"
             )
-    if alibi_slopes is not None:
+    if alibi_slopes is not None and not allow_alibi:
         raise NotImplementedError(
-            "alibi_slopes is not supported (reference asserts the same, "
-            "ring_flash_attn.py:176)"
+            "alibi_slopes: supported on flash_attn_func, "
+            "flash_attn_varlen_func, ring_flash_attn_*func and "
+            "llama3_flash_attn_varlen_func (an EXTENSION — the reference "
+            "supports it nowhere, ring_flash_attn.py:176); not on "
+            "zigzag/stripe/ring-varlen layouts"
         )
     return window_left
 
@@ -122,7 +125,8 @@ def flash_attn_func(
     """Single-device flash attention, q/k/v (B, S, H, D). Supports causal
     sliding windows via window_size=(left, 0)."""
     window_left = _check_unsupported(
-        dropout_p, window_size, alibi_slopes, allow_window=True
+        dropout_p, window_size, alibi_slopes, allow_window=True,
+        allow_alibi=True,
     )
     if window_left is not None and not causal:
         raise NotImplementedError("sliding window requires causal=True")
@@ -130,7 +134,7 @@ def flash_attn_func(
         _bshd_to_bhsd(q), _bshd_to_bhsd(k), _bshd_to_bhsd(v),
         _scale(softmax_scale, q.shape[-1]),
         MaskArgs(causal=causal, window_left=window_left,
-                 softcap=_cap(softcap)),
+                 softcap=_cap(softcap), alibi_slopes=alibi_slopes),
     )
     return _ret(out, lse, return_attn_probs)
 
@@ -151,14 +155,16 @@ def flash_attn_varlen_func(
     return_attn_probs=False,
 ):
     """Single-device varlen flash attention, q/k/v packed (T, H, D)."""
-    _check_unsupported(dropout_p, window_size, alibi_slopes)
+    _check_unsupported(dropout_p, window_size, alibi_slopes,
+                       allow_alibi=True)
     t = q.shape[0]
     seg = cu_seqlens_to_segids(cu_seqlens, t)
     pos = cu_seqlens_to_positions(cu_seqlens, t)
+    need_pos = causal or alibi_slopes is not None
     mask = MaskArgs(
         causal=causal, q_segids=seg, kv_segids=seg,
-        q_pos=pos if causal else None, kv_pos=pos if causal else None,
-        softcap=_cap(softcap),
+        q_pos=pos if need_pos else None, kv_pos=pos if need_pos else None,
+        softcap=_cap(softcap), alibi_slopes=alibi_slopes,
     )
     out, lse = _flash_attention(
         q.transpose(1, 0, 2)[None], k.transpose(1, 0, 2)[None],
@@ -197,15 +203,16 @@ def _batch_variant(schedule_kw):
     deterministic=False,
         return_attn_probs=False, group=None,
     ):
-        _check_unsupported(dropout_p, window_size, alibi_slopes)
         kind = schedule_kw["kind"]
+        _check_unsupported(dropout_p, window_size, alibi_slopes,
+                           allow_alibi=(kind == "ring"))
         scale = _scale(softmax_scale, q.shape[-1])
         qi, ki, vi = map(_bshd_to_bhsd, (q, k, v))
         axis = _axis(group)
         if kind == "ring":
             out, lse = ring_attention(
                 qi, ki, vi, scale=scale, causal=causal, axis_name=axis,
-                softcap=_cap(softcap),
+                softcap=_cap(softcap), alibi_slopes=alibi_slopes,
             )
         elif kind == "zigzag":
             if not causal:
@@ -417,7 +424,8 @@ def llama3_flash_attn_varlen_func(
     cu_seqlens_q/k become globally-consistent segment labels (each
     sequence's global start position) + a rank*L causal offset — see
     parallel/llama3.py."""
-    _check_unsupported(dropout_p, window_size, alibi_slopes)
+    _check_unsupported(dropout_p, window_size, alibi_slopes,
+                       allow_alibi=True)
     axis = _axis(group)
     t = q.shape[0]
     if local_k_slice is None:
@@ -436,7 +444,7 @@ def llama3_flash_attn_varlen_func(
         v.transpose(1, 0, 2)[None], q_segids,
         scale=_scale(softmax_scale, q.shape[-1]), causal=causal,
         heads_k_stride=heads_k_stride, axis_name=axis,
-        softcap=_cap(softcap),
+        softcap=_cap(softcap), alibi_slopes=alibi_slopes,
     )
     out = out[0].transpose(1, 0, 2)
     if return_attn_probs:

@@ -55,6 +55,14 @@ class MaskArgs(NamedTuple):
     # tanh logit capping: s -> softcap * tanh(s / softcap) (static float,
     # None/0 = disabled). Applied to scaled logits before masking.
     softcap: Optional[float] = None
+    # ALiBi per-query-head slopes ((Hq,) f32 array, None = disabled): adds
+    # bias -slope * (q_pos - kv_pos) (causal) / -slope * |q_pos - kv_pos|
+    # (non-causal) to the capped logits. Positions come from q_pos/kv_pos
+    # when given, else iota + offset — so the same `offset` that encodes a
+    # ring step's global shift also makes ALiBi globally consistent across
+    # ring steps. (The reference asserts alibi_slopes is None,
+    # reference ring_flash_attn.py:176 — this is a capability extension.)
+    alibi_slopes: Optional[Any] = None
 
     @property
     def has_position_mask(self):
@@ -94,3 +102,29 @@ def mask_logits(scores, mask: MaskArgs):
     if allowed is None:
         return scores
     return jnp.where(allowed, scores, NEG_INF)
+
+
+def position_diff(mask: MaskArgs, sq: int, skv: int):
+    """(Sq, Skv) int32 q_pos - kv_pos matrix per the mask's position model."""
+    if mask.q_pos is not None:
+        qp = mask.q_pos.astype(jnp.int32)
+        kp = mask.kv_pos.astype(jnp.int32)
+    else:
+        qp = lax.iota(jnp.int32, sq)
+        kp = lax.iota(jnp.int32, skv)
+        if mask.offset is not None:
+            qp = qp + mask.offset
+    return qp[:, None] - kp[None, :]
+
+
+def alibi_bias(mask: MaskArgs, hkv: int, group: int, sq: int, skv: int):
+    """(Hkv, G, Sq, Skv) f32 ALiBi bias, or None. XLA-backend path."""
+    if mask.alibi_slopes is None:
+        return None
+    dist = position_diff(mask, sq, skv).astype(jnp.float32)
+    if not mask.causal:
+        dist = jnp.abs(dist)
+    slopes = jnp.asarray(mask.alibi_slopes, jnp.float32).reshape(
+        hkv, group, 1, 1
+    )
+    return -slopes * dist

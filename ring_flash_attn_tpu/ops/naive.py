@@ -19,7 +19,7 @@ Shapes (internal layout, MXU-friendly):
 
 import jax.numpy as jnp
 
-from .mask import MaskArgs, NEG_INF, mask_logits
+from .mask import MaskArgs, NEG_INF, alibi_bias, mask_logits
 
 
 def _grouped(q, hkv):
@@ -37,6 +37,9 @@ def naive_block_fwd(q, k, v, scale, mask: MaskArgs):
     ) * scale
     if mask.softcap:
         s = mask.softcap * jnp.tanh(s / mask.softcap)
+    bias = alibi_bias(mask, hkv, hq // hkv, sq, skv)
+    if bias is not None:
+        s = s + bias
     s = mask_logits(s, mask)
     m = jnp.max(s, axis=-1, keepdims=True)
     p = jnp.exp(s - m)
@@ -85,6 +88,10 @@ def naive_block_bwd(dout, q, k, v, lse, delta, scale, mask: MaskArgs):
         t = jnp.tanh(s / mask.softcap)
         s = mask.softcap * t
         dcap = 1.0 - t * t
+    bias = alibi_bias(mask, hkv, g, sq, skv)
+    if bias is not None:
+        # additive bias: p is recomputed with it; ds is unchanged
+        s = s + bias
     s = mask_logits(s, mask)
     p = jnp.exp(s - lsef)
     dv = jnp.einsum("bhgqk,bhgqd->bhkd", p, doutf, preferred_element_type=jnp.float32)

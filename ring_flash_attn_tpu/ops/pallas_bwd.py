@@ -70,6 +70,7 @@ def _dq_kernel(
     static_offset,
     window_left,
     softcap,
+    use_alibi,
     blk_q,
     blk_kv,
     num_kv_blocks,
@@ -85,9 +86,11 @@ def _dq_kernel(
     kseg_ref = next(it) if use_segments else None
     qpos_ref = next(it) if use_positions else None
     kpos_ref = next(it) if use_positions else None
+    slopes_ref = next(it) if use_alibi else None  # (Hq,) f32 SMEM
     dq_ref = next(it)  # (1, 1, blk_q, D) f32
     dq_s = next(it)  # (blk_q, D) f32
 
+    h_id = pl.program_id(1)
     if triangular:
         p = pl.program_id(2)
         iq = iq_map_ref[p]
@@ -115,18 +118,24 @@ def _dq_kernel(
     def _init():
         dq_s[...] = jnp.zeros_like(dq_s)
 
+    def _qp_kp():
+        if use_positions:
+            qp = qpos_ref[0, :].reshape(blk_q, 1)
+            kp = kpos_ref[0, :].reshape(1, blk_kv)
+        else:
+            qp = (
+                iq * blk_q + info_ref[0]
+                + jax.lax.broadcasted_iota(jnp.int32, (blk_q, 1), 0)
+            )
+            kp = ikv * blk_kv + jax.lax.broadcasted_iota(
+                jnp.int32, (1, blk_kv), 1
+            )
+        return qp, kp
+
     def _allowed():
         allowed = None
         if causal:
-            if use_positions:
-                qp = qpos_ref[0, :].reshape(blk_q, 1)
-                kp = kpos_ref[0, :].reshape(1, blk_kv)
-            else:
-                offset_ = info_ref[0]
-                rows = jax.lax.broadcasted_iota(jnp.int32, (blk_q, blk_kv), 0)
-                cols = jax.lax.broadcasted_iota(jnp.int32, (blk_q, blk_kv), 1)
-                qp = iq * blk_q + rows + offset_
-                kp = ikv * blk_kv + cols
+            qp, kp = _qp_kp()
             allowed = qp >= kp
             if window_left is not None:
                 allowed &= (qp - kp) <= window_left
@@ -148,6 +157,12 @@ def _dq_kernel(
             cap2 = jnp.float32(softcap * _LOG2E)
             t = jnp.tanh(s * (1.0 / cap2))
             s = cap2 * t
+        if use_alibi:
+            qp, kp = _qp_kp()
+            dist = (qp - kp).astype(jnp.float32)
+            if not causal:
+                dist = jnp.abs(dist)
+            s = s - slopes_ref[h_id] * dist
         if masked:
             s = jnp.where(_allowed(), s, NEG_INF)
         pr = jnp.exp2(s - lse_ref[0, 0])  # = p * scale (lse pre-shifted)
@@ -209,6 +224,8 @@ def _dkv_kernel(
     use_segments,
     window_left,
     softcap,
+    use_alibi,
+    group,
     blk_q,
     blk_kv,
 ):
@@ -223,6 +240,7 @@ def _dkv_kernel(
     kseg_ref = next(it) if use_segments else None
     qpos_ref = next(it) if use_positions else None
     kpos_ref = next(it) if use_positions else None
+    slopes_ref = next(it) if use_alibi else None  # (Hq,) f32 SMEM
     dk_ref = next(it)  # (1, 1, blk_kv, D) f32
     dv_ref = next(it)  # (1, 1, blk_kv, D) f32
     dk_s = next(it)  # (blk_kv, D) f32
@@ -231,25 +249,33 @@ def _dkv_kernel(
     p = pl.program_id(2)
     iq = iq_map_ref[p]
     ikv = ikv_map_ref[p]
+    h_id = pl.program_id(1) * group + g_map_ref[p] if use_alibi else None
 
     @pl.when(first_map_ref[p] == 1)
     def _init():
         dk_s[...] = jnp.zeros_like(dk_s)
         dv_s[...] = jnp.zeros_like(dv_s)
 
+    def _qp_kp_t():
+        """Transposed-orientation positions: qp (1, blk_q), kp (blk_kv, 1)."""
+        if use_positions:
+            qp = qpos_ref[0, :].reshape(1, blk_q)
+            kp = kpos_ref[0, :].reshape(blk_kv, 1)
+        else:
+            qp = (
+                iq * blk_q + info_ref[0]
+                + jax.lax.broadcasted_iota(jnp.int32, (1, blk_q), 1)
+            )
+            kp = ikv * blk_kv + jax.lax.broadcasted_iota(
+                jnp.int32, (blk_kv, 1), 0
+            )
+        return qp, kp
+
     def _allowed_t():
         """(blk_kv, blk_q) transposed mask."""
         allowed = None
         if causal:
-            if use_positions:
-                qp = qpos_ref[0, :].reshape(1, blk_q)
-                kp = kpos_ref[0, :].reshape(blk_kv, 1)
-            else:
-                offset_ = info_ref[0]
-                cols = jax.lax.broadcasted_iota(jnp.int32, (blk_kv, blk_q), 1)
-                rows = jax.lax.broadcasted_iota(jnp.int32, (blk_kv, blk_q), 0)
-                qp = iq * blk_q + cols + offset_
-                kp = ikv * blk_kv + rows
+            qp, kp = _qp_kp_t()
             allowed = qp >= kp
             if window_left is not None:
                 allowed &= (qp - kp) <= window_left
@@ -271,6 +297,12 @@ def _dkv_kernel(
             cap2 = jnp.float32(softcap * _LOG2E)
             t = jnp.tanh(s_t * (1.0 / cap2))
             s_t = cap2 * t
+        if use_alibi:
+            qp, kp = _qp_kp_t()
+            dist = (qp - kp).astype(jnp.float32)
+            if not causal:
+                dist = jnp.abs(dist)
+            s_t = s_t - slopes_ref[h_id] * dist
         if masked:
             s_t = jnp.where(_allowed_t(), s_t, NEG_INF)
         p_t = jnp.exp2(s_t - lse_ref[0, 0].reshape(1, blk_q))
@@ -341,6 +373,7 @@ def _dq(dout, qs, k, v, lse_adj, delta, mask, blk_q, blk_kv, interpret):
     causal = bool(mask.causal)
     use_positions = mask.q_pos is not None
     use_segments = mask.q_segids is not None
+    use_alibi = mask.alibi_slopes is not None
     info, offset_static, static_offset = _offset_info(mask)
     triangular = causal and not use_positions and offset_static
 
@@ -420,6 +453,9 @@ def _dq(dout, qs, k, v, lse_adj, delta, mask, blk_q, blk_kv, interpret):
     _vec(mask.kv_segids if use_segments else None, blk_kv, kvec_index)
     _vec(mask.q_pos if use_positions else None, blk_q, qvec_index)
     _vec(mask.kv_pos if use_positions else None, blk_kv, kvec_index)
+    if use_alibi:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+        inputs.append(jnp.asarray(mask.alibi_slopes, jnp.float32) * _LOG2E)
 
     kernel = functools.partial(
         _dq_kernel,
@@ -430,6 +466,7 @@ def _dq(dout, qs, k, v, lse_adj, delta, mask, blk_q, blk_kv, interpret):
         static_offset=static_offset,
         window_left=mask.window_left,
         softcap=mask.softcap,
+        use_alibi=use_alibi,
         blk_q=blk_q,
         blk_kv=blk_kv,
         num_kv_blocks=n_kv,
@@ -466,6 +503,7 @@ def _dkv(dout, qs, k, v, lse, delta, mask, blk_q, blk_kv, interpret):
     causal = bool(mask.causal)
     use_positions = mask.q_pos is not None
     use_segments = mask.q_segids is not None
+    use_alibi = mask.alibi_slopes is not None
     info, offset_static, static_offset = _offset_info(mask)
     # Pair enumeration (kv-major); causal+static-offset skips q blocks
     # entirely above the diagonal.
@@ -533,6 +571,9 @@ def _dkv(dout, qs, k, v, lse, delta, mask, blk_q, blk_kv, interpret):
     _vec(mask.kv_segids if use_segments else None, blk_kv, kvec_index)
     _vec(mask.q_pos if use_positions else None, blk_q, qvec_index)
     _vec(mask.kv_pos if use_positions else None, blk_kv, kvec_index)
+    if use_alibi:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+        inputs.append(jnp.asarray(mask.alibi_slopes, jnp.float32) * _LOG2E)
 
     kernel = functools.partial(
         _dkv_kernel,
@@ -541,6 +582,8 @@ def _dkv(dout, qs, k, v, lse, delta, mask, blk_q, blk_kv, interpret):
         use_segments=use_segments,
         window_left=mask.window_left,
         softcap=mask.softcap,
+        use_alibi=use_alibi,
+        group=group,
         blk_q=blk_q,
         blk_kv=blk_kv,
     )

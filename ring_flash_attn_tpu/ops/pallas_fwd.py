@@ -65,6 +65,7 @@ def _fwd_kernel(
     static_offset,
     window_left,
     softcap,
+    use_alibi,
     blk_q,
     blk_kv,
     num_kv_blocks,
@@ -77,12 +78,14 @@ def _fwd_kernel(
     kseg_ref = next(it) if use_segments else None  # (1, blk_kv) int32
     qpos_ref = next(it) if use_positions else None  # (1, blk_q) int32
     kpos_ref = next(it) if use_positions else None  # (1, blk_kv) int32
+    slopes_ref = next(it) if use_alibi else None  # (Hq,) f32 SMEM (x log2e)
     out_ref = next(it)  # (1, 1, blk_q, D) f32
     lse_ref = next(it)  # (1, 1, blk_q, 1) f32
     m_s = next(it)  # (blk_q, 128) f32
     l_s = next(it)  # (blk_q, 128) f32
     acc_s = next(it)  # (blk_q, D) f32
 
+    h_id = pl.program_id(1)
     if triangular:
         p = pl.program_id(2)
         iq = iq_map_ref[p]
@@ -114,18 +117,24 @@ def _fwd_kernel(
         l_s[...] = jnp.zeros_like(l_s)
         acc_s[...] = jnp.zeros_like(acc_s)
 
+    def _qp_kp():
+        if use_positions:
+            qp = qpos_ref[0, :].reshape(blk_q, 1)
+            kp = kpos_ref[0, :].reshape(1, blk_kv)
+        else:
+            qp = (
+                iq * blk_q + info_ref[0]
+                + jax.lax.broadcasted_iota(jnp.int32, (blk_q, 1), 0)
+            )
+            kp = ikv * blk_kv + jax.lax.broadcasted_iota(
+                jnp.int32, (1, blk_kv), 1
+            )
+        return qp, kp
+
     def _allowed():
         allowed = None
         if causal:
-            if use_positions:
-                qp = qpos_ref[0, :].reshape(blk_q, 1)
-                kp = kpos_ref[0, :].reshape(1, blk_kv)
-            else:
-                offset_ = info_ref[0]
-                rows = jax.lax.broadcasted_iota(jnp.int32, (blk_q, blk_kv), 0)
-                cols = jax.lax.broadcasted_iota(jnp.int32, (blk_q, blk_kv), 1)
-                qp = iq * blk_q + rows + offset_
-                kp = ikv * blk_kv + cols
+            qp, kp = _qp_kp()
             allowed = qp >= kp
             if window_left is not None:
                 allowed &= (qp - kp) <= window_left
@@ -152,6 +161,13 @@ def _fwd_kernel(
             # natural-units capped logit.
             cap2 = jnp.float32(softcap * _LOG2E)
             s = cap2 * jnp.tanh(s * (1.0 / cap2))
+        if use_alibi:
+            qp, kp = _qp_kp()
+            dist = (qp - kp).astype(jnp.float32)
+            if not causal:
+                dist = jnp.abs(dist)
+            # slope arrives pre-multiplied by log2e (base-2 regime)
+            s = s - slopes_ref[h_id] * dist
         return s
 
     def _update(s):
@@ -245,6 +261,7 @@ def pallas_block_fwd(q, k, v, scale, mask: MaskArgs, interpret=False,
 
     use_positions = mask.q_pos is not None
     use_segments = mask.q_segids is not None
+    use_alibi = mask.alibi_slopes is not None
     offset_static = (
         mask.offset is None or isinstance(mask.offset, (int, np.integer))
     )
@@ -345,6 +362,11 @@ def pallas_block_fwd(q, k, v, scale, mask: MaskArgs, interpret=False,
     _vec(mask.kv_segids if use_segments else None, blk_kv, kvec_index)
     _vec(mask.q_pos if use_positions else None, blk_q, qvec_index)
     _vec(mask.kv_pos if use_positions else None, blk_kv, kvec_index)
+    if use_alibi:
+        # per-head slopes ride in SMEM (indexed by the head grid id in the
+        # kernel), pre-multiplied by log2e for the base-2 regime
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+        inputs.append(jnp.asarray(mask.alibi_slopes, jnp.float32) * _LOG2E)
 
     kernel = functools.partial(
         _fwd_kernel,
@@ -355,6 +377,7 @@ def pallas_block_fwd(q, k, v, scale, mask: MaskArgs, interpret=False,
         static_offset=static_offset,
         window_left=mask.window_left,
         softcap=mask.softcap,
+        use_alibi=use_alibi,
         blk_q=blk_q,
         blk_kv=blk_kv,
         num_kv_blocks=n_kv,

@@ -35,7 +35,7 @@ def _gather_chunk(kv, i, stride, axis_name):
 
 
 def _llama3_fwd(q, k, v, q_segids, scale, causal, heads_k_stride,
-                axis_name, backend, softcap=None):
+                axis_name, backend, softcap=None, alibi_slopes=None):
     w = ring_size(axis_name)
     rank = ring_rank(axis_name)
     b, hq, l, d = q.shape
@@ -63,10 +63,15 @@ def _llama3_fwd(q, k, v, q_segids, scale, causal, heads_k_stride,
         q_i = q[:, i * group : (i + heads_k_stride) * group]
         mask = MaskArgs(
             causal=causal,
-            offset=offset if causal else None,
+            # ALiBi needs the global q offset even when not causal
+            offset=offset if (causal or alibi_slopes is not None) else None,
             q_segids=q_segids,
             kv_segids=kv_segids,
             softcap=softcap,
+            alibi_slopes=(
+                alibi_slopes[i * group:(i + heads_k_stride) * group]
+                if alibi_slopes is not None else None
+            ),
         )
         o_i, lse_i = block_fwd(
             q_i, gathered[0], gathered[1], scale, mask, backend
@@ -78,7 +83,7 @@ def _llama3_fwd(q, k, v, q_segids, scale, causal, heads_k_stride,
 
 
 def _llama3_bwd(q, k, v, q_segids, out, lse, dout, scale, causal,
-                heads_k_stride, axis_name, backend, softcap=None):
+                heads_k_stride, axis_name, backend, softcap=None, alibi_slopes=None):
     w = ring_size(axis_name)
     rank = ring_rank(axis_name)
     b, hq, l, d = q.shape
@@ -104,10 +109,15 @@ def _llama3_bwd(q, k, v, q_segids, out, lse, dout, scale, causal,
         hs = slice(i * group, (i + heads_k_stride) * group)
         mask = MaskArgs(
             causal=causal,
-            offset=offset if causal else None,
+            # ALiBi needs the global q offset even when not causal
+            offset=offset if (causal or alibi_slopes is not None) else None,
             q_segids=q_segids,
             kv_segids=kv_segids,
             softcap=softcap,
+            alibi_slopes=(
+                alibi_slopes[i * group:(i + heads_k_stride) * group]
+                if alibi_slopes is not None else None
+            ),
         )
         dq_i, dk_g, dv_g = block_bwd(
             dout[:, hs], q[:, hs], gathered[0], gathered[1],
@@ -129,7 +139,7 @@ def _llama3_bwd(q, k, v, q_segids, out, lse, dout, scale, causal,
 
 def llama3_attention(q, k, v, q_segids=None, *, scale, causal=True,
                      heads_k_stride=None, axis_name, backend=None,
-                     softcap=None):
+                     softcap=None, alibi_slopes=None):
     """Differentiable llama3 all-gather attention on per-shard (B,H,S,D).
 
     q/k/v sharded contiguously along S (packed tokens when varlen;
@@ -147,14 +157,14 @@ def llama3_attention(q, k, v, q_segids=None, *, scale, causal=True,
     def f(q, k, v, q_segids):
         out, lse = _llama3_fwd(
             q, k, v, q_segids, scale, causal, heads_k_stride, axis_name,
-            backend, softcap,
+            backend, softcap, alibi_slopes,
         )
         return out.astype(q.dtype), lse
 
     def f_fwd(q, k, v, q_segids):
         out, lse = _llama3_fwd(
             q, k, v, q_segids, scale, causal, heads_k_stride, axis_name,
-            backend, softcap,
+            backend, softcap, alibi_slopes,
         )
         out = out.astype(q.dtype)
         return (out, lse), (q, k, v, q_segids, out, lse)
@@ -164,7 +174,7 @@ def llama3_attention(q, k, v, q_segids=None, *, scale, causal=True,
         dout, _ = grads
         dq, dk, dv = _llama3_bwd(
             q, k, v, q_segids, out, lse, dout, scale, causal,
-            heads_k_stride, axis_name, backend, softcap,
+            heads_k_stride, axis_name, backend, softcap, alibi_slopes,
         )
         return (
             dq.astype(q.dtype),

@@ -29,8 +29,9 @@ from ..ops.merge import merge_partials
 from .mesh import ring_rotate, ring_size, ring_rank
 
 
-def _ring_fwd(q, k, v, scale, causal, axis_name, backend, softcap=None):
-    M = lambda **kw: MaskArgs(softcap=softcap, **kw)
+def _ring_fwd(q, k, v, scale, causal, axis_name, backend, softcap=None,
+              alibi_slopes=None):
+    M = lambda **kw: MaskArgs(softcap=softcap, alibi_slopes=alibi_slopes, **kw)
     w = ring_size(axis_name)
     rank = ring_rank(axis_name)
     kv = jnp.stack([k, v])
@@ -42,21 +43,29 @@ def _ring_fwd(q, k, v, scale, causal, axis_name, backend, softcap=None):
         # wait() overlap (reference ring_flash_attn.py:28,61).
         kv_next = ring_rotate(kv, axis_name) if step < w - 1 else None
         kk, vv = kv[0], kv[1]
+        # global shift of local q positions vs the resident kv shard (from
+        # rank (r-step) mod W) — only ALiBi needs it on mask-free steps
+        off = (
+            (rank - (rank - step) % w) * k.shape[2]
+            if alibi_slopes is not None else None
+        )
         if step == 0:
             b_out, b_lse = block_fwd(
                 q, kk, vv, scale, M(causal=causal), backend
             )
             out, lse = merge_partials(None, None, b_out, b_lse)
         elif not causal:
-            b_out, b_lse = block_fwd(q, kk, vv, scale, M(), backend)
+            b_out, b_lse = block_fwd(q, kk, vv, scale, M(offset=off), backend)
             out, lse = merge_partials(out, lse, b_out, b_lse)
         else:
             # causal: the kv resident at step s came from rank r-s; ranks
             # only attend to earlier shards => compute iff step <= rank
             # (reference :30).
-            def _compute(args, kk=kk, vv=vv):
+            def _compute(args, kk=kk, vv=vv, off=off):
                 out, lse = args
-                b_out, b_lse = block_fwd(q, kk, vv, scale, M(), backend)
+                b_out, b_lse = block_fwd(
+                    q, kk, vv, scale, M(offset=off), backend
+                )
                 return merge_partials(out, lse, b_out, b_lse)
 
             out, lse = lax.cond(step <= rank, _compute, lambda a: a, (out, lse))
@@ -66,8 +75,8 @@ def _ring_fwd(q, k, v, scale, causal, axis_name, backend, softcap=None):
 
 
 def _ring_bwd(q, k, v, out, lse, dout, scale, causal, axis_name, backend,
-              softcap=None):
-    M = lambda **kw: MaskArgs(softcap=softcap, **kw)
+              softcap=None, alibi_slopes=None):
+    M = lambda **kw: MaskArgs(softcap=softcap, alibi_slopes=alibi_slopes, **kw)
     w = ring_size(axis_name)
     rank = ring_rank(axis_name)
     delta = compute_delta(dout, out)
@@ -79,6 +88,10 @@ def _ring_bwd(q, k, v, out, lse, dout, scale, causal, axis_name, backend,
     for step in range(w):
         kv_next = ring_rotate(kv, axis_name) if step < w - 1 else None
         kk, vv = kv[0], kv[1]
+        off = (
+            (rank - (rank - step) % w) * k.shape[2]
+            if alibi_slopes is not None else None
+        )
         if step == 0:
             b_dq, b_dk, b_dv = block_bwd(
                 dout, q, kk, vv, lse, delta, scale,
@@ -88,16 +101,16 @@ def _ring_bwd(q, k, v, out, lse, dout, scale, causal, axis_name, backend,
             dkv = dkv + jnp.stack([b_dk, b_dv])
         elif not causal:
             b_dq, b_dk, b_dv = block_bwd(
-                dout, q, kk, vv, lse, delta, scale, M(), backend
+                dout, q, kk, vv, lse, delta, scale, M(offset=off), backend
             )
             dq = dq + b_dq
             dkv = dkv + jnp.stack([b_dk, b_dv])
         else:
 
-            def _compute(args, kk=kk, vv=vv):
+            def _compute(args, kk=kk, vv=vv, off=off):
                 dq, dkv = args
                 b_dq, b_dk, b_dv = block_bwd(
-                    dout, q, kk, vv, lse, delta, scale, M(), backend
+                    dout, q, kk, vv, lse, delta, scale, M(offset=off), backend
                 )
                 return dq + b_dq, dkv + jnp.stack([b_dk, b_dv])
 
@@ -111,7 +124,7 @@ def _ring_bwd(q, k, v, out, lse, dout, scale, causal, axis_name, backend,
 
 
 def ring_attention(q, k, v, *, scale, causal, axis_name, backend=None,
-                   softcap=None):
+                   softcap=None, alibi_slopes=None):
     """Differentiable basic ring attention on per-shard (B,H,S,D) tensors.
 
     Must be called inside shard_map with q/k/v sharded contiguously along S
@@ -121,12 +134,12 @@ def ring_attention(q, k, v, *, scale, causal, axis_name, backend=None,
     @jax.custom_vjp
     def f(q, k, v):
         out, lse = _ring_fwd(q, k, v, scale, causal, axis_name, backend,
-                             softcap)
+                             softcap, alibi_slopes)
         return out.astype(q.dtype), lse
 
     def f_fwd(q, k, v):
         out, lse = _ring_fwd(q, k, v, scale, causal, axis_name, backend,
-                             softcap)
+                             softcap, alibi_slopes)
         out = out.astype(q.dtype)
         return (out, lse), (q, k, v, out, lse)
 
@@ -135,7 +148,7 @@ def ring_attention(q, k, v, *, scale, causal, axis_name, backend=None,
         dout, _ = grads
         dq, dk, dv = _ring_bwd(
             q, k, v, out, lse, dout, scale, causal, axis_name, backend,
-            softcap,
+            softcap, alibi_slopes,
         )
         return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)
 

@@ -1,0 +1,152 @@
+"""ALiBi tests — an EXTENSION over the reference, which supports
+alibi_slopes nowhere (asserts None, reference ring_flash_attn.py:176).
+
+Semantics follow flash-attn: bias = -slope_h * (q_pos - kv_pos) when causal,
+-slope_h * |q_pos - kv_pos| otherwise, added to the scaled (and softcapped,
+if any) logits. Oracle = plain softmax + explicit bias, autodiff gradients.
+"""
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import pytest
+from jax.sharding import Mesh, PartitionSpec as P
+from jax import shard_map
+
+from ring_flash_attn_tpu.ops.flash import flash_attention
+from ring_flash_attn_tpu.ops.mask import MaskArgs
+from ring_flash_attn_tpu.parallel.ring import ring_attention
+
+B, HQ, HKV, S, D = 1, 4, 2, 256, 64
+SCALE = D**-0.5
+W = 8
+SPEC4 = P(None, None, "sp", None)
+SPEC3 = P(None, None, "sp")
+
+
+def slopes_for(n):
+    # geometric slopes as in the ALiBi paper
+    return jnp.asarray([2.0 ** (-8.0 * (i + 1) / n) for i in range(n)],
+                       jnp.float32)
+
+
+SLOPES = slopes_for(HQ)
+
+
+def alibi_attention(q, k, v, causal):
+    b, hq, s, d = q.shape
+    hkv = k.shape[1]
+    g = hq // hkv
+    qf = q.astype(jnp.float32).reshape(b, hkv, g, s, d)
+    logits = jnp.einsum("bhgqd,bhkd->bhgqk", qf, k.astype(jnp.float32)) * SCALE
+    i = jnp.arange(s)
+    dist = (i[:, None] - i[None, :]).astype(jnp.float32)
+    if not causal:
+        dist = jnp.abs(dist)
+    logits = logits - SLOPES.reshape(hkv, g, 1, 1) * dist
+    if causal:
+        logits = jnp.where(i[:, None] >= i[None, :], logits, -jnp.inf)
+    p = jax.nn.softmax(logits, axis=-1)
+    out = jnp.einsum("bhgqk,bhkd->bhgqd", p, v.astype(jnp.float32))
+    return out.reshape(b, hq, s, d)
+
+
+@pytest.fixture(scope="module")
+def data():
+    q = jax.random.normal(jax.random.PRNGKey(0), (B, HQ, S, D), jnp.float32)
+    k = jax.random.normal(jax.random.PRNGKey(1), (B, HKV, S, D), jnp.float32)
+    v = jax.random.normal(jax.random.PRNGKey(2), (B, HKV, S, D), jnp.float32)
+    dout = jax.random.normal(jax.random.PRNGKey(3), (B, HQ, S, D), jnp.float32)
+    return q, k, v, dout
+
+
+def _ref(q, k, v, dout, causal):
+    ref = alibi_attention(q, k, v, causal)
+
+    def loss(q, k, v):
+        return jnp.sum(alibi_attention(q, k, v, causal) * dout)
+
+    return (ref,) + jax.grad(loss, (0, 1, 2))(q, k, v)
+
+
+@pytest.mark.parametrize("backend", ["xla", "pallas_interpret"])
+@pytest.mark.parametrize("causal", [False, True])
+def test_flash_alibi(data, backend, causal):
+    q, k, v, dout = data
+    ref, dq_r, dk_r, dv_r = _ref(q, k, v, dout, causal)
+    mask = MaskArgs(causal=causal, alibi_slopes=SLOPES)
+
+    def loss(q, k, v):
+        o, _ = flash_attention(q, k, v, SCALE, mask, backend=backend)
+        return jnp.sum(o * dout)
+
+    out, _ = flash_attention(q, k, v, SCALE, mask, backend=backend)
+    dq, dk, dv = jax.grad(loss, (0, 1, 2))(q, k, v)
+    assert jnp.max(jnp.abs(out - ref)) < 2e-5
+    assert jnp.max(jnp.abs(dq - dq_r)) < 1e-4
+    assert jnp.max(jnp.abs(dk - dk_r)) < 1e-4
+    assert jnp.max(jnp.abs(dv - dv_r)) < 1e-4
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_ring_alibi(devices8, data, causal):
+    """Ring ALiBi: per-step traced offsets must reproduce the global
+    distance matrix exactly."""
+    mesh = Mesh(devices8, ("sp",))
+    q, k, v, dout = data
+    ref, dq_r, dk_r, dv_r = _ref(q, k, v, dout, causal)
+
+    @partial(shard_map, mesh=mesh, in_specs=(SPEC4,) * 3,
+             out_specs=(SPEC4, SPEC3), check_vma=False)
+    def sharded(q, k, v):
+        return ring_attention(
+            q, k, v, scale=SCALE, causal=causal, axis_name="sp",
+            alibi_slopes=SLOPES,
+        )
+
+    out, _ = jax.jit(sharded)(q, k, v)
+
+    def loss(q, k, v):
+        o, _ = sharded(q, k, v)
+        return jnp.sum(o * dout)
+
+    dq, dk, dv = jax.jit(jax.grad(loss, (0, 1, 2)))(q, k, v)
+    assert jnp.max(jnp.abs(out - ref)) < 2e-5
+    assert jnp.max(jnp.abs(dq - dq_r)) < 1e-4
+    assert jnp.max(jnp.abs(dk - dk_r)) < 1e-4
+    assert jnp.max(jnp.abs(dv - dv_r)) < 1e-4
+
+
+def test_api_alibi(data):
+    from ring_flash_attn_tpu.api import flash_attn_func
+
+    q, k, v, dout = data
+    ref, *_ = _ref(q, k, v, dout, causal=True)
+    out = flash_attn_func(
+        q.transpose(0, 2, 1, 3), k.transpose(0, 2, 1, 3),
+        v.transpose(0, 2, 1, 3), causal=True, alibi_slopes=SLOPES,
+    )
+    assert jnp.max(jnp.abs(out.transpose(0, 2, 1, 3) - ref)) < 2e-5
+
+
+def test_api_alibi_varlen(data):
+    """Varlen ALiBi: distances are within-sequence (positions reset per
+    sequence), cross-sequence attention masked."""
+    from ring_flash_attn_tpu.api import flash_attn_varlen_func
+
+    q, k, v, dout = data
+    cu = jnp.asarray([0, 96, 160, 256], jnp.int32)
+    qp = q[0].transpose(1, 0, 2)  # (S, H, D)
+    kp = k[0].transpose(1, 0, 2)
+    vp = v[0].transpose(1, 0, 2)
+    out = flash_attn_varlen_func(
+        qp, kp, vp, cu, causal=True, alibi_slopes=SLOPES
+    )
+    # per-sequence oracle
+    for a, b in zip(cu[:-1], cu[1:]):
+        ref = alibi_attention(
+            q[:, :, a:b], k[:, :, a:b], v[:, :, a:b], causal=True
+        )
+        got = out[a:b].transpose(1, 0, 2)[None]
+        assert jnp.max(jnp.abs(got - ref)) < 2e-5

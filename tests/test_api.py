@@ -233,7 +233,10 @@ def test_unsupported_kwargs_raise(data):
         # sliding windows are single-device-flash only
         rfa.ring_flash_attn_func(q, k, v, window_size=(128, 0))
     with pytest.raises(NotImplementedError):
-        rfa.flash_attn_func(q, k, v, alibi_slopes=jnp.ones(HQ))
+        # alibi is supported on flash/ring/llama3 but not zigzag layouts
+        rfa.zigzag_ring_flash_attn_func(
+            q, k, v, causal=True, alibi_slopes=jnp.ones(HQ)
+        )
 
 
 def test_sliding_window_flash(data):
