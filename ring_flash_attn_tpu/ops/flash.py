@@ -20,15 +20,21 @@ from .mask import MaskArgs
 from .naive import naive_block_fwd, naive_block_bwd
 
 
-def block_fwd(q, k, v, scale, mask: MaskArgs, backend=None):
-    """One attention block: returns (out f32 (B,Hq,Sq,D), lse f32 (B,Hq,Sq))."""
+def block_fwd(q, k, v, scale, mask: MaskArgs, backend=None, out_dtype=None):
+    """One attention block: returns (out (B,Hq,Sq,D), lse f32 (B,Hq,Sq)).
+
+    out is fp32 (the mergeable contract) unless out_dtype narrows it —
+    single-call paths pass q.dtype so the kernel writes the final dtype
+    directly instead of paying an extra cast pass over HBM."""
     backend = get_backend(backend)
     if backend == "xla":
-        return naive_block_fwd(q, k, v, scale, mask)
+        out, lse = naive_block_fwd(q, k, v, scale, mask)
+        return (out.astype(out_dtype) if out_dtype else out), lse
     from .pallas_fwd import pallas_block_fwd
 
     return pallas_block_fwd(
-        q, k, v, scale, mask, interpret=(backend == "pallas_interpret")
+        q, k, v, scale, mask, interpret=(backend == "pallas_interpret"),
+        out_dtype=out_dtype,
     )
 
 
@@ -74,12 +80,11 @@ def flash_attention(q, k, v, scale, mask: MaskArgs, backend=None):
 
     @jax.custom_vjp
     def f(q, k, v):
-        out, lse = block_fwd(q, k, v, scale, mask, backend)
-        return out.astype(q.dtype), lse
+        out, lse = block_fwd(q, k, v, scale, mask, backend, out_dtype=q.dtype)
+        return out, lse
 
     def f_fwd(q, k, v):
-        out, lse = block_fwd(q, k, v, scale, mask, backend)
-        out = out.astype(q.dtype)
+        out, lse = block_fwd(q, k, v, scale, mask, backend, out_dtype=q.dtype)
         return (out, lse), (q, k, v, out, lse)
 
     def f_bwd(res, grads):

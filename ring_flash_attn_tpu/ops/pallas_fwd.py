@@ -229,7 +229,9 @@ def _fwd_kernel(
         # merge_partials.
         dead = jnp.logical_or(l == 0.0, m_s[:, :1] <= NEG_INF / 2)
         l_safe = jnp.where(l == 0.0, 1.0, l)
-        out_ref[0, 0] = jnp.where(dead, 0.0, acc_s[...] / l_safe)
+        out_ref[0, 0] = jnp.where(dead, 0.0, acc_s[...] / l_safe).astype(
+            out_ref.dtype
+        )
         # m is in base-2 units; emit lse in natural-log units
         lse_ref[0, 0] = jnp.where(
             dead, NEG_INF,
@@ -238,8 +240,12 @@ def _fwd_kernel(
 
 
 def pallas_block_fwd(q, k, v, scale, mask: MaskArgs, interpret=False,
-                     blk_q=None, blk_kv=None):
-    """q (B,Hq,Sq,D), k/v (B,Hkv,Skv,D) -> (out f32 (B,Hq,Sq,D), lse f32 (B,Hq,Sq))."""
+                     blk_q=None, blk_kv=None, out_dtype=None):
+    """q (B,Hq,Sq,D), k/v (B,Hkv,Skv,D) -> (out (B,Hq,Sq,D), lse f32 (B,Hq,Sq)).
+
+    out_dtype defaults to fp32 (the merge-ready contract the schedules
+    need); single-call paths pass q.dtype so the kernel writes the final
+    dtype directly, saving a full HBM round-trip for the cast."""
     b, hq, sq, d = q.shape
     _, hkv, skv, _ = k.shape
     assert hq % hkv == 0, (hq, hkv)
@@ -402,7 +408,7 @@ def pallas_block_fwd(q, k, v, scale, mask: MaskArgs, interpret=False,
         kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((b, hq, sq, d), jnp.float32),
+            jax.ShapeDtypeStruct((b, hq, sq, d), out_dtype or jnp.float32),
             jax.ShapeDtypeStruct((b, hq, sq, 1), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
