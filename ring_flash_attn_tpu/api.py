@@ -54,11 +54,14 @@ def _axis(group):
 
 
 def _check_unsupported(dropout_p, window_size, alibi_slopes,
-                       allow_window=False, allow_alibi=False):
-    if dropout_p != 0.0:
+                       allow_window=False, allow_alibi=False,
+                       allow_dropout=False):
+    if dropout_p != 0.0 and not allow_dropout:
         raise NotImplementedError(
-            "dropout is not supported (the reference documents the same "
-            "limitation, README.md:158)"
+            "dropout: supported on flash_attn_func, flash_attn_varlen_func "
+            "and ring_flash_attn_*func via the dropout_seed kwarg (an "
+            "EXTENSION — the reference documents dropout as unsupported, "
+            "README.md:158); not on zigzag/stripe/llama3 paths"
         )
     window_left = None
     if tuple(window_size) != (-1, -1):
@@ -120,13 +123,14 @@ def flash_attn_func(
     dropout_p=0.0, softmax_scale=None, causal=False,
     window_size=(-1, -1), softcap=0.0, alibi_slopes=None,
     deterministic=False,
-    return_attn_probs=False,
+    return_attn_probs=False, dropout_seed=None,
 ):
     """Single-device flash attention, q/k/v (B, S, H, D). Supports causal
-    sliding windows via window_size=(left, 0)."""
+    sliding windows via window_size=(left, 0), softcap, ALiBi, and
+    deterministic dropout (pass dropout_seed; see ops/mask.py)."""
     window_left = _check_unsupported(
         dropout_p, window_size, alibi_slopes, allow_window=True,
-        allow_alibi=True,
+        allow_alibi=True, allow_dropout=True,
     )
     if window_left is not None and not causal:
         raise NotImplementedError("sliding window requires causal=True")
@@ -134,7 +138,8 @@ def flash_attn_func(
         _bshd_to_bhsd(q), _bshd_to_bhsd(k), _bshd_to_bhsd(v),
         _scale(softmax_scale, q.shape[-1]),
         MaskArgs(causal=causal, window_left=window_left,
-                 softcap=_cap(softcap), alibi_slopes=alibi_slopes),
+                 softcap=_cap(softcap), alibi_slopes=alibi_slopes,
+                 dropout_p=dropout_p or None, dropout_seed=dropout_seed),
     )
     return _ret(out, lse, return_attn_probs)
 
@@ -152,19 +157,20 @@ def flash_attn_varlen_func(
     dropout_p=0.0, softmax_scale=None, causal=False,
     window_size=(-1, -1), softcap=0.0, alibi_slopes=None,
     deterministic=False,
-    return_attn_probs=False,
+    return_attn_probs=False, dropout_seed=None,
 ):
     """Single-device varlen flash attention, q/k/v packed (T, H, D)."""
     _check_unsupported(dropout_p, window_size, alibi_slopes,
-                       allow_alibi=True)
+                       allow_alibi=True, allow_dropout=True)
     t = q.shape[0]
     seg = cu_seqlens_to_segids(cu_seqlens, t)
     pos = cu_seqlens_to_positions(cu_seqlens, t)
-    need_pos = causal or alibi_slopes is not None
+    need_pos = causal or alibi_slopes is not None or dropout_p
     mask = MaskArgs(
         causal=causal, q_segids=seg, kv_segids=seg,
         q_pos=pos if need_pos else None, kv_pos=pos if need_pos else None,
         softcap=_cap(softcap), alibi_slopes=alibi_slopes,
+        dropout_p=dropout_p or None, dropout_seed=dropout_seed,
     )
     out, lse = _flash_attention(
         q.transpose(1, 0, 2)[None], k.transpose(1, 0, 2)[None],
@@ -200,12 +206,13 @@ def _batch_variant(schedule_kw):
         q, k, v,
         dropout_p=0.0, softmax_scale=None, causal=False,
         window_size=(-1, -1), softcap=0.0, alibi_slopes=None,
-    deterministic=False,
-        return_attn_probs=False, group=None,
+        deterministic=False,
+        return_attn_probs=False, group=None, dropout_seed=None,
     ):
         kind = schedule_kw["kind"]
         _check_unsupported(dropout_p, window_size, alibi_slopes,
-                           allow_alibi=(kind == "ring"))
+                           allow_alibi=(kind == "ring"),
+                           allow_dropout=(kind == "ring"))
         scale = _scale(softmax_scale, q.shape[-1])
         qi, ki, vi = map(_bshd_to_bhsd, (q, k, v))
         axis = _axis(group)
@@ -213,6 +220,7 @@ def _batch_variant(schedule_kw):
             out, lse = ring_attention(
                 qi, ki, vi, scale=scale, causal=causal, axis_name=axis,
                 softcap=_cap(softcap), alibi_slopes=alibi_slopes,
+                dropout_p=dropout_p or None, dropout_seed=dropout_seed,
             )
         elif kind == "zigzag":
             if not causal:

@@ -44,6 +44,11 @@ NEG_INF = -1e30
 class MaskArgs(NamedTuple):
     causal: bool = False
     offset: Optional[Any] = None  # int (static) or traced int32 scalar
+    # absolute position of kv index 0 (int or traced int32; None = 0). The
+    # causal comparison only sees offset - kv_offset, but dropout and any
+    # future absolute-position feature need true coordinates: a ring step
+    # passes offset=rank*L, kv_offset=src*L.
+    kv_offset: Optional[Any] = None
     q_segids: Optional[Any] = None
     kv_segids: Optional[Any] = None
     q_pos: Optional[Any] = None
@@ -63,6 +68,16 @@ class MaskArgs(NamedTuple):
     # ring steps. (The reference asserts alibi_slopes is None,
     # reference ring_flash_attn.py:176 — this is a capability extension.)
     alibi_slopes: Optional[Any] = None
+    # Deterministic dropout on the attention probabilities (an EXTENSION —
+    # the reference documents dropout as unsupported because torch rng
+    # states are hard to carry across ring steps, reference README.md:158).
+    # The keep decision for element (i, j) is a pure stateless hash of
+    # (absolute q position, absolute kv position, q segment, head, batch,
+    # seed), so it is identical across block shapes, forward and backward
+    # kernels, backends, and ring steps — which is what makes distributed
+    # dropout == single-device dropout, exactly.
+    dropout_p: Optional[float] = None  # static; None/0 = disabled
+    dropout_seed: Optional[Any] = None  # int or traced int32 scalar
 
     @property
     def has_position_mask(self):
@@ -77,14 +92,7 @@ def allowed_mask(mask: MaskArgs, sq: int, skv: int):
     """Dense bool (Sq, Skv) mask, or None if unconstrained. XLA-backend path."""
     allowed = None
     if mask.causal:
-        if mask.q_pos is not None:
-            qp = mask.q_pos.astype(jnp.int32)
-            kp = mask.kv_pos.astype(jnp.int32)
-        else:
-            qp = lax.iota(jnp.int32, sq)
-            kp = lax.iota(jnp.int32, skv)
-            if mask.offset is not None:
-                qp = qp + mask.offset
+        qp, kp = positions(mask, sq, skv)
         allowed = qp[:, None] >= kp[None, :]
         if mask.window_left is not None:
             allowed &= (qp[:, None] - kp[None, :]) <= mask.window_left
@@ -104,17 +112,70 @@ def mask_logits(scores, mask: MaskArgs):
     return jnp.where(allowed, scores, NEG_INF)
 
 
+def positions(mask: MaskArgs, sq: int, skv: int):
+    """((Sq,), (Skv,)) int32 absolute positions per the mask's model."""
+    if mask.q_pos is not None:
+        return mask.q_pos.astype(jnp.int32), mask.kv_pos.astype(jnp.int32)
+    qp = lax.iota(jnp.int32, sq)
+    kp = lax.iota(jnp.int32, skv)
+    if mask.offset is not None:
+        qp = qp + mask.offset
+    if mask.kv_offset is not None:
+        kp = kp + mask.kv_offset
+    return qp, kp
+
+
 def position_diff(mask: MaskArgs, sq: int, skv: int):
     """(Sq, Skv) int32 q_pos - kv_pos matrix per the mask's position model."""
-    if mask.q_pos is not None:
-        qp = mask.q_pos.astype(jnp.int32)
-        kp = mask.kv_pos.astype(jnp.int32)
-    else:
-        qp = lax.iota(jnp.int32, sq)
-        kp = lax.iota(jnp.int32, skv)
-        if mask.offset is not None:
-            qp = qp + mask.offset
+    qp, kp = positions(mask, sq, skv)
     return qp[:, None] - kp[None, :]
+
+
+# xxhash-style 32-bit avalanche + multipliers for the dropout hash. Not
+# cryptographic — just well-mixed, cheap on the VPU (int32 mul/xor/shift),
+# and implementable identically in jnp (XLA backend / tests) and Pallas.
+_H_Q = 0x9E3779B1
+_H_K = 0x85EBCA77
+_H_HEAD = 0xC2B2AE35
+_H_BATCH = 0x27D4EB2F
+_H_SEG = 0x165667B1
+
+
+def _mix32(x):
+    x = x ^ (x >> jnp.uint32(16))
+    x = x * jnp.uint32(0x7FEB352D)
+    x = x ^ (x >> jnp.uint32(15))
+    x = x * jnp.uint32(0x846CA68B)
+    return x ^ (x >> jnp.uint32(16))
+
+
+def dropout_row_hash(qp, qseg, head, batch, seed):
+    """Per-q-row hash (any shape). qp int32 positions; head/batch/seed
+    scalars; qseg int32 per-row segment ids or None."""
+    x = qp.astype(jnp.uint32) * jnp.uint32(_H_Q)
+    x = x + (
+        jnp.uint32(0xDEADBEEF)
+        + seed.astype(jnp.uint32)
+        + head.astype(jnp.uint32) * jnp.uint32(_H_HEAD)
+        + batch.astype(jnp.uint32) * jnp.uint32(_H_BATCH)
+    )
+    if qseg is not None:
+        x = x + qseg.astype(jnp.uint32) * jnp.uint32(_H_SEG)
+    return _mix32(x)
+
+
+def dropout_keep(row_hash, kp, threshold):
+    """keep mask: broadcast(row_hash, kp) — row_hash from dropout_row_hash
+    (broadcastable against kp), kp int32 kv positions, threshold uint32
+    (= dropout_p * 2^32)."""
+    x = row_hash ^ (kp.astype(jnp.uint32) * jnp.uint32(_H_K))
+    return _mix32(x) >= threshold
+
+
+def dropout_threshold(dropout_p):
+    import numpy as _np
+
+    return jnp.uint32(_np.uint32(min(int(dropout_p * 2**32), 2**32 - 1)))
 
 
 def alibi_bias(mask: MaskArgs, hkv: int, group: int, sq: int, skv: int):

@@ -18,8 +18,45 @@ Shapes (internal layout, MXU-friendly):
 """
 
 import jax.numpy as jnp
+from jax import lax
 
-from .mask import MaskArgs, NEG_INF, alibi_bias, mask_logits
+from .mask import (
+    MaskArgs,
+    NEG_INF,
+    alibi_bias,
+    dropout_keep,
+    dropout_row_hash,
+    dropout_threshold,
+    mask_logits,
+    positions,
+)
+
+
+def _dropout_keep_dense(mask: MaskArgs, b, hkv, g, sq, skv):
+    """(b, hkv, g, sq, skv) bool keep-mask, or None — bit-identical to the
+    Pallas kernels' in-block hash (same ops, same inputs)."""
+    if not mask.dropout_p:
+        return None
+    qp, kp = positions(mask, sq, skv)
+    seed = jnp.asarray(
+        0 if mask.dropout_seed is None else mask.dropout_seed, jnp.int32
+    )
+    heads = lax.iota(jnp.int32, hkv * g).reshape(hkv, g)
+    batches = lax.iota(jnp.int32, b)
+    qseg = None if mask.q_segids is None else jnp.asarray(
+        mask.q_segids, jnp.int32
+    )
+    rh = dropout_row_hash(
+        qp[None, None, None, :],
+        None if qseg is None else qseg[None, None, None, :],
+        heads[None, :, :, None],
+        batches[:, None, None, None],
+        seed,
+    )  # (b, hkv, g, sq) uint32
+    return dropout_keep(
+        rh[..., None], kp[None, None, None, None, :],
+        dropout_threshold(mask.dropout_p),
+    )
 
 
 def _grouped(q, hkv):
@@ -44,8 +81,13 @@ def naive_block_fwd(q, k, v, scale, mask: MaskArgs):
     m = jnp.max(s, axis=-1, keepdims=True)
     p = jnp.exp(s - m)
     l = jnp.sum(p, axis=-1, keepdims=True)
+    keep = _dropout_keep_dense(mask, b, hkv, hq // hkv, sq, skv)
+    p_v = p
+    if keep is not None:
+        # dropout on the normalized probabilities: l stays undropped
+        p_v = jnp.where(keep, p, 0.0) * (1.0 / (1.0 - mask.dropout_p))
     out = jnp.einsum(
-        "bhgqk,bhkd->bhgqd", p, v.astype(jnp.float32),
+        "bhgqk,bhkd->bhgqd", p_v, v.astype(jnp.float32),
         preferred_element_type=jnp.float32,
     ) / l
     lse = (m + jnp.log(l)).squeeze(-1)
@@ -94,8 +136,15 @@ def naive_block_bwd(dout, q, k, v, lse, delta, scale, mask: MaskArgs):
         s = s + bias
     s = mask_logits(s, mask)
     p = jnp.exp(s - lsef)
-    dv = jnp.einsum("bhgqk,bhgqd->bhkd", p, doutf, preferred_element_type=jnp.float32)
+    keep = _dropout_keep_dense(mask, b, hkv, g, sq, skv)
+    p_v = p
+    if keep is not None:
+        inv = 1.0 / (1.0 - mask.dropout_p)
+        p_v = jnp.where(keep, p, 0.0) * inv
+    dv = jnp.einsum("bhgqk,bhgqd->bhkd", p_v, doutf, preferred_element_type=jnp.float32)
     dp = jnp.einsum("bhgqd,bhkd->bhgqk", doutf, vf, preferred_element_type=jnp.float32)
+    if keep is not None:
+        dp = jnp.where(keep, dp, 0.0) * inv
     ds = p * (dp - deltaf) * scale
     if mask.softcap:
         ds = ds * dcap

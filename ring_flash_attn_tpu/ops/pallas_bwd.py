@@ -32,25 +32,19 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-from .mask import MaskArgs, NEG_INF
-from .pallas_fwd import _LN2, _LOG2E, _pick_block
+from .mask import (
+    MaskArgs,
+    NEG_INF,
+    dropout_keep,
+    dropout_row_hash,
+    dropout_threshold,
+)
+from .pallas_fwd import _LN2, _LOG2E, _pick_block, mask_info
 
 # Measured on v5e at the headline shape (see bench.py): 1024x512 beats
 # 512x512 by ~6% on the combined dq+dkv pass.
 DEFAULT_BLOCK_Q = 1024
 DEFAULT_BLOCK_KV = 512
-
-
-def _offset_info(mask):
-    offset_static = (
-        mask.offset is None or isinstance(mask.offset, (int, np.integer))
-    )
-    static_offset = int(mask.offset or 0) if offset_static else 0
-    if mask.offset is None:
-        offset = jnp.zeros((), jnp.int32)
-    else:
-        offset = jnp.asarray(mask.offset, jnp.int32)
-    return offset.reshape(1), offset_static, static_offset
 
 
 # ---------------------------------------------------------------------------
@@ -71,6 +65,7 @@ def _dq_kernel(
     window_left,
     softcap,
     use_alibi,
+    dropout_p,
     blk_q,
     blk_kv,
     num_kv_blocks,
@@ -90,7 +85,9 @@ def _dq_kernel(
     dq_ref = next(it)  # (1, 1, blk_q, D) f32
     dq_s = next(it)  # (blk_q, D) f32
 
+    b_id = pl.program_id(0)
     h_id = pl.program_id(1)
+    rel = info_ref[0] - info_ref[1]
     if triangular:
         p = pl.program_id(2)
         iq = iq_map_ref[p]
@@ -108,7 +105,7 @@ def _dq_kernel(
         is_last = ikv == num_kv_blocks - 1
         if causal and not use_positions:
             last_needed = jnp.maximum(
-                ((iq + 1) * blk_q - 1 + info_ref[0]) // blk_kv, 0
+                ((iq + 1) * blk_q - 1 + rel) // blk_kv, 0
             )
             should_compute = ikv <= last_needed
         else:
@@ -127,10 +124,15 @@ def _dq_kernel(
                 iq * blk_q + info_ref[0]
                 + jax.lax.broadcasted_iota(jnp.int32, (blk_q, 1), 0)
             )
-            kp = ikv * blk_kv + jax.lax.broadcasted_iota(
-                jnp.int32, (1, blk_kv), 1
+            kp = (
+                ikv * blk_kv + info_ref[1]
+                + jax.lax.broadcasted_iota(jnp.int32, (1, blk_kv), 1)
             )
         return qp, kp
+
+    def _keep(qp, kp, qseg):
+        rh = dropout_row_hash(qp, qseg, h_id, b_id, info_ref[2])
+        return dropout_keep(rh, kp, dropout_threshold(dropout_p))
 
     def _allowed():
         allowed = None
@@ -172,6 +174,12 @@ def _dq_kernel(
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
+        if dropout_p:
+            qp_, kp_ = _qp_kp()
+            qseg_ = qseg_ref[0, :].reshape(blk_q, 1) if use_segments else None
+            dp = jnp.where(_keep(qp_, kp_, qseg_), dp, 0.0) * jnp.float32(
+                1.0 / (1.0 - dropout_p)
+            )
         ds = pr * (dp - delta_ref[0, 0])
         if softcap:
             # chain rule through the cap: d s_cap/d s = 1 - tanh^2
@@ -185,7 +193,7 @@ def _dq_kernel(
 
     if (causal and not use_positions and not use_segments
             and window_left is None):
-        on_diag = (iq * blk_q + info_ref[0]) < ((ikv + 1) * blk_kv - 1)
+        on_diag = (iq * blk_q + rel) < ((ikv + 1) * blk_kv - 1)
 
         @pl.when(should_compute & on_diag)
         def _masked():
@@ -225,6 +233,7 @@ def _dkv_kernel(
     window_left,
     softcap,
     use_alibi,
+    dropout_p,
     group,
     blk_q,
     blk_kv,
@@ -246,10 +255,15 @@ def _dkv_kernel(
     dk_s = next(it)  # (blk_kv, D) f32
     dv_s = next(it)  # (blk_kv, D) f32
 
+    b_id = pl.program_id(0)
     p = pl.program_id(2)
     iq = iq_map_ref[p]
     ikv = ikv_map_ref[p]
-    h_id = pl.program_id(1) * group + g_map_ref[p] if use_alibi else None
+    rel = info_ref[0] - info_ref[1]
+    h_id = (
+        pl.program_id(1) * group + g_map_ref[p]
+        if (use_alibi or dropout_p) else None
+    )
 
     @pl.when(first_map_ref[p] == 1)
     def _init():
@@ -266,10 +280,19 @@ def _dkv_kernel(
                 iq * blk_q + info_ref[0]
                 + jax.lax.broadcasted_iota(jnp.int32, (1, blk_q), 1)
             )
-            kp = ikv * blk_kv + jax.lax.broadcasted_iota(
-                jnp.int32, (blk_kv, 1), 0
+            kp = (
+                ikv * blk_kv + info_ref[1]
+                + jax.lax.broadcasted_iota(jnp.int32, (blk_kv, 1), 0)
             )
         return qp, kp
+
+    def _keep_t():
+        """Transposed-orientation keep mask — elementwise identical to the
+        forward kernel's (pure function of absolute coordinates)."""
+        qp, kp = _qp_kp_t()
+        qseg = qseg_ref[0, :].reshape(1, blk_q) if use_segments else None
+        rh = dropout_row_hash(qp, qseg, h_id, b_id, info_ref[2])
+        return dropout_keep(rh, kp, dropout_threshold(dropout_p))
 
     def _allowed_t():
         """(blk_kv, blk_q) transposed mask."""
@@ -306,8 +329,14 @@ def _dkv_kernel(
         if masked:
             s_t = jnp.where(_allowed_t(), s_t, NEG_INF)
         p_t = jnp.exp2(s_t - lse_ref[0, 0].reshape(1, blk_q))
+        if dropout_p:
+            keep_t = _keep_t()
+            inv = jnp.float32(1.0 / (1.0 - dropout_p))
+            p_v = jnp.where(keep_t, p_t, 0.0) * inv
+        else:
+            p_v = p_t
         dv_s[...] += jax.lax.dot_general(
-            p_t.astype(dout_ref.dtype),
+            p_v.astype(dout_ref.dtype),
             dout_ref[0, 0],
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -318,6 +347,8 @@ def _dkv_kernel(
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
+        if dropout_p:
+            dp_t = jnp.where(keep_t, dp_t, 0.0) * inv
         ds_t = p_t * (dp_t - delta_ref[0, 0].reshape(1, blk_q))
         if softcap:
             ds_t = ds_t * (1.0 - t * t)
@@ -330,7 +361,7 @@ def _dkv_kernel(
 
     if (causal and not use_positions and not use_segments
             and window_left is None):
-        on_diag = (iq * blk_q + info_ref[0]) < ((ikv + 1) * blk_kv - 1)
+        on_diag = (iq * blk_q + rel) < ((ikv + 1) * blk_kv - 1)
 
         @pl.when(on_diag)
         def _masked():
@@ -374,7 +405,7 @@ def _dq(dout, qs, k, v, lse_adj, delta, mask, blk_q, blk_kv, interpret):
     use_positions = mask.q_pos is not None
     use_segments = mask.q_segids is not None
     use_alibi = mask.alibi_slopes is not None
-    info, offset_static, static_offset = _offset_info(mask)
+    info, offset_static, static_offset = mask_info(mask)
     triangular = causal and not use_positions and offset_static
 
     if triangular:
@@ -409,8 +440,10 @@ def _dq(dout, qs, k, v, lse_adj, delta, mask, blk_q, blk_kv, interpret):
 
         def _clamp_kv(qi, ki, info_ref):
             if causal and not use_positions:
+                # info[0]-info[1] = the relative q-vs-kv shift
                 last_needed = jnp.maximum(
-                    ((qi + 1) * blk_q - 1 + info_ref[0]) // blk_kv, 0
+                    ((qi + 1) * blk_q - 1 + info_ref[0] - info_ref[1])
+                    // blk_kv, 0
                 )
                 ki = jnp.minimum(ki, jnp.minimum(last_needed, n_kv - 1))
             return ki
@@ -467,6 +500,7 @@ def _dq(dout, qs, k, v, lse_adj, delta, mask, blk_q, blk_kv, interpret):
         window_left=mask.window_left,
         softcap=mask.softcap,
         use_alibi=use_alibi,
+        dropout_p=mask.dropout_p,
         blk_q=blk_q,
         blk_kv=blk_kv,
         num_kv_blocks=n_kv,
@@ -504,7 +538,7 @@ def _dkv(dout, qs, k, v, lse, delta, mask, blk_q, blk_kv, interpret):
     use_positions = mask.q_pos is not None
     use_segments = mask.q_segids is not None
     use_alibi = mask.alibi_slopes is not None
-    info, offset_static, static_offset = _offset_info(mask)
+    info, offset_static, static_offset = mask_info(mask)
     # Pair enumeration (kv-major); causal+static-offset skips q blocks
     # entirely above the diagonal.
     pairs = []  # (g, iq, ikv)
@@ -583,6 +617,7 @@ def _dkv(dout, qs, k, v, lse, delta, mask, blk_q, blk_kv, interpret):
         window_left=mask.window_left,
         softcap=mask.softcap,
         use_alibi=use_alibi,
+        dropout_p=mask.dropout_p,
         group=group,
         blk_q=blk_q,
         blk_kv=blk_kv,

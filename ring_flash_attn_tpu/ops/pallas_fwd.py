@@ -52,9 +52,33 @@ def _pick_block(s, preferred):
     return max(b, 1)
 
 
+def _static_int(x):
+    return x is None or isinstance(x, (int, np.integer))
+
+
+def mask_info(mask):
+    """Scalar-prefetch info for the kernels: (3,) int32
+    [q offset, kv offset, dropout seed], plus whether the RELATIVE offset
+    (what the causal grid logic needs) is static, and its static value."""
+    def scalar(x):
+        return jnp.zeros((), jnp.int32) if x is None else jnp.asarray(
+            x, jnp.int32
+        )
+
+    rel_static = _static_int(mask.offset) and _static_int(mask.kv_offset)
+    static_rel = (
+        int(mask.offset or 0) - int(mask.kv_offset or 0) if rel_static else 0
+    )
+    info = jnp.stack(
+        [scalar(mask.offset), scalar(mask.kv_offset),
+         scalar(mask.dropout_seed)]
+    )
+    return info, rel_static, static_rel
+
+
 def _fwd_kernel(
     # scalar prefetch
-    info_ref,  # (1,) int32: [offset]
+    info_ref,  # (3,) int32: [q offset, kv offset, dropout seed]
     iq_map_ref,  # (P,) int32: pair -> q block (triangular) or None-like
     ikv_map_ref,  # (P,) int32: pair -> kv block
     *refs,  # q, k, v, [qseg, kseg], [qpos, kpos], out, lse, m_s, l_s, acc_s
@@ -66,6 +90,7 @@ def _fwd_kernel(
     window_left,
     softcap,
     use_alibi,
+    dropout_p,
     blk_q,
     blk_kv,
     num_kv_blocks,
@@ -85,7 +110,11 @@ def _fwd_kernel(
     l_s = next(it)  # (blk_q, 128) f32
     acc_s = next(it)  # (blk_q, D) f32
 
+    b_id = pl.program_id(0)
     h_id = pl.program_id(1)
+    # the causal/grid logic only ever sees the RELATIVE shift; absolute
+    # coordinates (info[0], info[1] separately) matter to dropout/ALiBi
+    rel = info_ref[0] - info_ref[1]
     if triangular:
         p = pl.program_id(2)
         iq = iq_map_ref[p]
@@ -103,9 +132,8 @@ def _fwd_kernel(
         ikv = pl.program_id(3)
         is_last = ikv == num_kv_blocks - 1
         if causal and not use_positions:
-            offset = info_ref[0]
             last_needed = jnp.maximum(
-                ((iq + 1) * blk_q - 1 + offset) // blk_kv, 0
+                ((iq + 1) * blk_q - 1 + rel) // blk_kv, 0
             )
             should_compute = ikv <= last_needed
         else:
@@ -126,10 +154,22 @@ def _fwd_kernel(
                 iq * blk_q + info_ref[0]
                 + jax.lax.broadcasted_iota(jnp.int32, (blk_q, 1), 0)
             )
-            kp = ikv * blk_kv + jax.lax.broadcasted_iota(
-                jnp.int32, (1, blk_kv), 1
+            kp = (
+                ikv * blk_kv + info_ref[1]
+                + jax.lax.broadcasted_iota(jnp.int32, (1, blk_kv), 1)
             )
         return qp, kp
+
+    def _keep():
+        """Deterministic dropout keep-mask from absolute coordinates —
+        identical across block shapes, fwd/bwd kernels, backends, and ring
+        steps (see ops/mask.py)."""
+        from .mask import dropout_keep, dropout_row_hash, dropout_threshold
+
+        qp, kp = _qp_kp()
+        qseg = qseg_ref[0, :].reshape(blk_q, 1) if use_segments else None
+        rh = dropout_row_hash(qp, qseg, h_id, b_id, info_ref[2])
+        return dropout_keep(rh, kp, dropout_threshold(dropout_p))
 
     def _allowed():
         allowed = None
@@ -182,10 +222,18 @@ def _fwd_kernel(
         alpha = jnp.exp2(m_prev - m_new)
         pr = jnp.exp2(s - m_new)
         l_new = l_s[:, :1] * alpha + jnp.sum(pr, axis=1, keepdims=True)
+        if dropout_p:
+            # dropout on the (normalized-at-flush) probabilities: the l
+            # statistic stays undropped, only the PV operand is masked
+            pr_v = jnp.where(_keep(), pr, 0.0) * jnp.float32(
+                1.0 / (1.0 - dropout_p)
+            )
+        else:
+            pr_v = pr
         # pr is cast to the V dtype for the PV matmul (flash-attention's
         # standard trick; the fp32 row statistics keep the result accurate).
         acc_s[...] = acc_s[...] * alpha + jax.lax.dot_general(
-            pr.astype(v_ref.dtype),
+            pr_v.astype(v_ref.dtype),
             v_ref[0, 0],
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
@@ -199,7 +247,7 @@ def _fwd_kernel(
         # the mask-free path. pl.when predication (Mosaic branches poorly
         # through lax.cond). (A window disables the fast path: interior
         # blocks may be window-masked.)
-        on_diag = (iq * blk_q + info_ref[0]) < ((ikv + 1) * blk_kv - 1)
+        on_diag = (iq * blk_q + rel) < ((ikv + 1) * blk_kv - 1)
 
         @pl.when(should_compute & on_diag)
         def _masked():
@@ -268,18 +316,9 @@ def pallas_block_fwd(q, k, v, scale, mask: MaskArgs, interpret=False,
     use_positions = mask.q_pos is not None
     use_segments = mask.q_segids is not None
     use_alibi = mask.alibi_slopes is not None
-    offset_static = (
-        mask.offset is None or isinstance(mask.offset, (int, np.integer))
-    )
-    static_offset = int(mask.offset or 0) if offset_static else 0
+    info, offset_static, static_offset = mask_info(mask)
     # Triangular pair enumeration needs the diagonal position at trace time.
     triangular = causal and not use_positions and offset_static
-
-    if mask.offset is None:
-        offset = jnp.zeros((), jnp.int32)
-    else:
-        offset = jnp.asarray(mask.offset, jnp.int32)
-    info = offset.reshape(1)
 
     if triangular:
         pairs = []
@@ -327,8 +366,10 @@ def pallas_block_fwd(q, k, v, scale, mask: MaskArgs, interpret=False,
             if causal and not use_positions:
                 # out-of-diagonal steps revisit the last in-range block: no
                 # DMA is issued for blocks the causal mask fully excludes.
+                # (info[0]-info[1] = the relative q-vs-kv shift)
                 last_needed = jnp.maximum(
-                    ((qi + 1) * blk_q - 1 + info_ref[0]) // blk_kv, 0
+                    ((qi + 1) * blk_q - 1 + info_ref[0] - info_ref[1])
+                    // blk_kv, 0
                 )
                 ki = jnp.minimum(ki, jnp.minimum(last_needed, n_kv - 1))
             return ki
@@ -384,6 +425,7 @@ def pallas_block_fwd(q, k, v, scale, mask: MaskArgs, interpret=False,
         window_left=mask.window_left,
         softcap=mask.softcap,
         use_alibi=use_alibi,
+        dropout_p=mask.dropout_p,
         blk_q=blk_q,
         blk_kv=blk_kv,
         num_kv_blocks=n_kv,

@@ -14,6 +14,13 @@ the ring in fp32 (the reference accumulates in the input dtype and documents
 the resulting bf16 error, README.md:152; we spend 2x wire bytes for exact
 fp32 accumulation).
 
+EXTENSIONS over the reference carried by the mask spec: softcap, ALiBi, and
+deterministic dropout. ALiBi/dropout need true global coordinates, so those
+steps pass absolute offsets (q at rank*L, resident kv at src*L where
+src = (rank - step) mod W) — which makes distributed dropout bit-identical
+to single-device dropout (the reference documents dropout as unsupported,
+README.md:158).
+
 All functions here are per-shard: call them inside shard_map over the ring
 mesh axis, with q/k/v already sequence-sharded (layout: contiguous chunks).
 Internal tensor layout is (B, H, S, D).
@@ -29,11 +36,21 @@ from ..ops.merge import merge_partials
 from .mesh import ring_rotate, ring_size, ring_rank
 
 
-def _ring_fwd(q, k, v, scale, causal, axis_name, backend, softcap=None,
-              alibi_slopes=None):
-    M = lambda **kw: MaskArgs(softcap=softcap, alibi_slopes=alibi_slopes, **kw)
+def _step_mask(step, rank, w, l_kv, causal, extras):
+    """MaskArgs for ring step `step`. Position-dependent extras (ALiBi,
+    dropout) force absolute coordinates; otherwise offsets stay None so the
+    diagonal step keeps its static triangular grid."""
+    kw = dict(extras)
+    if extras.get("alibi_slopes") is not None or extras.get("dropout_p"):
+        src = (rank - step) % w
+        kw.update(offset=rank * l_kv, kv_offset=src * l_kv)
+    return MaskArgs(causal=causal and step == 0, **kw)
+
+
+def _ring_fwd(q, k, v, scale, causal, axis_name, backend, extras):
     w = ring_size(axis_name)
     rank = ring_rank(axis_name)
+    l_kv = k.shape[2]
     kv = jnp.stack([k, v])
     out = lse = None
     for step in range(w):
@@ -43,29 +60,20 @@ def _ring_fwd(q, k, v, scale, causal, axis_name, backend, softcap=None,
         # wait() overlap (reference ring_flash_attn.py:28,61).
         kv_next = ring_rotate(kv, axis_name) if step < w - 1 else None
         kk, vv = kv[0], kv[1]
-        # global shift of local q positions vs the resident kv shard (from
-        # rank (r-step) mod W) — only ALiBi needs it on mask-free steps
-        off = (
-            (rank - (rank - step) % w) * k.shape[2]
-            if alibi_slopes is not None else None
-        )
+        mask = _step_mask(step, rank, w, l_kv, causal, extras)
         if step == 0:
-            b_out, b_lse = block_fwd(
-                q, kk, vv, scale, M(causal=causal), backend
-            )
+            b_out, b_lse = block_fwd(q, kk, vv, scale, mask, backend)
             out, lse = merge_partials(None, None, b_out, b_lse)
         elif not causal:
-            b_out, b_lse = block_fwd(q, kk, vv, scale, M(offset=off), backend)
+            b_out, b_lse = block_fwd(q, kk, vv, scale, mask, backend)
             out, lse = merge_partials(out, lse, b_out, b_lse)
         else:
             # causal: the kv resident at step s came from rank r-s; ranks
             # only attend to earlier shards => compute iff step <= rank
             # (reference :30).
-            def _compute(args, kk=kk, vv=vv, off=off):
+            def _compute(args, kk=kk, vv=vv, mask=mask):
                 out, lse = args
-                b_out, b_lse = block_fwd(
-                    q, kk, vv, scale, M(offset=off), backend
-                )
+                b_out, b_lse = block_fwd(q, kk, vv, scale, mask, backend)
                 return merge_partials(out, lse, b_out, b_lse)
 
             out, lse = lax.cond(step <= rank, _compute, lambda a: a, (out, lse))
@@ -75,10 +83,10 @@ def _ring_fwd(q, k, v, scale, causal, axis_name, backend, softcap=None,
 
 
 def _ring_bwd(q, k, v, out, lse, dout, scale, causal, axis_name, backend,
-              softcap=None, alibi_slopes=None):
-    M = lambda **kw: MaskArgs(softcap=softcap, alibi_slopes=alibi_slopes, **kw)
+              extras):
     w = ring_size(axis_name)
     rank = ring_rank(axis_name)
+    l_kv = k.shape[2]
     delta = compute_delta(dout, out)
     kv = jnp.stack([k, v])
     dq = jnp.zeros(q.shape, jnp.float32)
@@ -88,29 +96,19 @@ def _ring_bwd(q, k, v, out, lse, dout, scale, causal, axis_name, backend,
     for step in range(w):
         kv_next = ring_rotate(kv, axis_name) if step < w - 1 else None
         kk, vv = kv[0], kv[1]
-        off = (
-            (rank - (rank - step) % w) * k.shape[2]
-            if alibi_slopes is not None else None
-        )
-        if step == 0:
+        mask = _step_mask(step, rank, w, l_kv, causal, extras)
+        if step == 0 or not causal:
             b_dq, b_dk, b_dv = block_bwd(
-                dout, q, kk, vv, lse, delta, scale,
-                M(causal=causal), backend,
-            )
-            dq = dq + b_dq
-            dkv = dkv + jnp.stack([b_dk, b_dv])
-        elif not causal:
-            b_dq, b_dk, b_dv = block_bwd(
-                dout, q, kk, vv, lse, delta, scale, M(offset=off), backend
+                dout, q, kk, vv, lse, delta, scale, mask, backend
             )
             dq = dq + b_dq
             dkv = dkv + jnp.stack([b_dk, b_dv])
         else:
 
-            def _compute(args, kk=kk, vv=vv, off=off):
+            def _compute(args, kk=kk, vv=vv, mask=mask):
                 dq, dkv = args
                 b_dq, b_dk, b_dv = block_bwd(
-                    dout, q, kk, vv, lse, delta, scale, M(offset=off), backend
+                    dout, q, kk, vv, lse, delta, scale, mask, backend
                 )
                 return dq + b_dq, dkv + jnp.stack([b_dk, b_dv])
 
@@ -124,33 +122,42 @@ def _ring_bwd(q, k, v, out, lse, dout, scale, causal, axis_name, backend,
 
 
 def ring_attention(q, k, v, *, scale, causal, axis_name, backend=None,
-                   softcap=None, alibi_slopes=None):
+                   softcap=None, alibi_slopes=None, dropout_p=None,
+                   dropout_seed=None):
     """Differentiable basic ring attention on per-shard (B,H,S,D) tensors.
 
     Must be called inside shard_map with q/k/v sharded contiguously along S
     over `axis_name`. Returns (out in q.dtype, lse fp32 (B,H,S)).
     """
+    base = dict(softcap=softcap, alibi_slopes=alibi_slopes,
+                dropout_p=dropout_p)
+    # the seed may be a tracer (per-step training seeds), which custom_vjp
+    # can't close over — it rides as an explicit zero-cotangent argument
+    seed = jnp.asarray(
+        0 if dropout_seed is None else dropout_seed, jnp.int32
+    )
 
     @jax.custom_vjp
-    def f(q, k, v):
+    def f(q, k, v, seed):
         out, lse = _ring_fwd(q, k, v, scale, causal, axis_name, backend,
-                             softcap, alibi_slopes)
+                             dict(base, dropout_seed=seed))
         return out.astype(q.dtype), lse
 
-    def f_fwd(q, k, v):
+    def f_fwd(q, k, v, seed):
         out, lse = _ring_fwd(q, k, v, scale, causal, axis_name, backend,
-                             softcap, alibi_slopes)
+                             dict(base, dropout_seed=seed))
         out = out.astype(q.dtype)
-        return (out, lse), (q, k, v, out, lse)
+        return (out, lse), (q, k, v, seed, out, lse)
 
     def f_bwd(res, grads):
-        q, k, v, out, lse = res
+        q, k, v, seed, out, lse = res
         dout, _ = grads
         dq, dk, dv = _ring_bwd(
             q, k, v, out, lse, dout, scale, causal, axis_name, backend,
-            softcap, alibi_slopes,
+            dict(base, dropout_seed=seed),
         )
-        return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)
+        return (dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype),
+                None)
 
     f.defvjp(f_fwd, f_bwd)
-    return f(q, k, v)
+    return f(q, k, v, seed)

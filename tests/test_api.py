@@ -228,7 +228,8 @@ def test_llama3_prepare_cu_seqlens_consistency():
 def test_unsupported_kwargs_raise(data):
     q, k, v = data
     with pytest.raises(NotImplementedError):
-        rfa.flash_attn_func(q, k, v, dropout_p=0.1)
+        # dropout is supported on flash/ring paths but not zigzag layouts
+        rfa.zigzag_ring_flash_attn_func(q, k, v, causal=True, dropout_p=0.1)
     with pytest.raises(NotImplementedError):
         # sliding windows are single-device-flash only
         rfa.ring_flash_attn_func(q, k, v, window_size=(128, 0))
