@@ -1,5 +1,6 @@
 from .mesh import ring_rotate, ring_size, ring_rank
 from .ring import ring_attention
+from .fused_ring import fused_ring_attention
 from .zigzag import zigzag_ring_attention
 from .stripe import stripe_attention
 from .llama3 import llama3_attention
@@ -17,6 +18,7 @@ __all__ = [
     "ring_size",
     "ring_rank",
     "ring_attention",
+    "fused_ring_attention",
     "zigzag_ring_attention",
     "stripe_attention",
     "llama3_attention",
