@@ -66,7 +66,8 @@ def update_ring_flash_attn_params(cu_seqlens, group=None):
 
 def ring_attention_forward(q, k, v, causal=True, softmax_scale=None,
                            heads_k_stride=None, group=None,
-                           position_ids=None):
+                           position_ids=None, softcap=0.0,
+                           alibi_slopes=None):
     """Attention override: (B, S_local, H, D) in/out, packed batch_size == 1
     when ring is on (the reference enforces the same, hf_adapter.py:145-147).
     Must run inside shard_map over the context-parallel axis.
@@ -80,7 +81,8 @@ def ring_attention_forward(q, k, v, causal=True, softmax_scale=None,
         position_ids is None and "global_segids" not in DATA_PARAMS
     ):
         return flash_attn_func(
-            q, k, v, softmax_scale=softmax_scale, causal=causal
+            q, k, v, softmax_scale=softmax_scale, causal=causal,
+            softcap=softcap, alibi_slopes=alibi_slopes,
         )
     assert causal, "ring adapter is causal-only (reference :138-144)"
     assert q.shape[0] == 1, (
@@ -102,6 +104,8 @@ def ring_attention_forward(q, k, v, causal=True, softmax_scale=None,
         seg_local, scale=scale, causal=True,
         heads_k_stride=heads_k_stride or DATA_PARAMS.get("heads_k_stride"),
         axis_name=axis,
+        softcap=float(softcap) if softcap else None,
+        alibi_slopes=alibi_slopes,
     )
     return jnp.swapaxes(out, 1, 2)
 

@@ -85,3 +85,41 @@ def test_use_ring_attn_toggle(devices8, model):
     out = model.module.apply({"params": model.params}, tokens, mask, pos)[0]
     assert out.shape == (1, 64, 128)
     adapter_mod.use_ring_attn(True)
+
+
+def test_ring_attention_forward_softcap(devices8):
+    """The adapter's attention override threads softcap (Gemma-2 style)
+    through the llama3 path — the reference forcibly zeroes softcap
+    (utils.py:19-20)."""
+    mesh = Mesh(devices8, ("sp",))
+    rfa.substitute_hf_flash_attn(process_group="sp")
+    adapter_mod.use_ring_attn(True)
+
+    B, H, HKV, D, CAP = 1, 4, 2, 32, 10.0
+    q = jax.random.normal(jax.random.PRNGKey(0), (B, S, H, D), jnp.float32)
+    k = jax.random.normal(jax.random.PRNGKey(1), (B, S, HKV, D), jnp.float32)
+    v = jax.random.normal(jax.random.PRNGKey(2), (B, S, HKV, D), jnp.float32)
+    pos = jnp.arange(S, dtype=jnp.int32)[None]  # one packed sequence
+
+    @partial(shard_map, mesh=mesh,
+             in_specs=(P(None, "sp"),) * 3 + (P(None, "sp"),),
+             out_specs=P(None, "sp"), check_vma=False)
+    def sharded(q, k, v, pos):
+        return adapter_mod.ring_attention_forward(
+            q, k, v, causal=True, position_ids=pos, softcap=CAP
+        )
+
+    out = jax.jit(sharded)(q, k, v, pos)
+
+    # dense capped-softmax oracle
+    g = H // HKV
+    qf = q[0].transpose(1, 0, 2).reshape(HKV, g, S, D)
+    kf = k[0].transpose(1, 0, 2)
+    logits = jnp.einsum("hgqd,hkd->hgqk", qf, kf) * (D ** -0.5)
+    logits = CAP * jnp.tanh(logits / CAP)
+    i = jnp.arange(S)
+    logits = jnp.where(i[:, None] >= i[None, :], logits, -jnp.inf)
+    p = jax.nn.softmax(logits, axis=-1)
+    ref = jnp.einsum("hgqk,hkd->hgqd", p, v[0].transpose(1, 0, 2))
+    ref = ref.reshape(H, S, D).transpose(1, 0, 2)[None]
+    assert jnp.max(jnp.abs(out - ref)) < 2e-5
