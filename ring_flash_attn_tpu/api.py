@@ -58,10 +58,10 @@ def _check_unsupported(dropout_p, window_size, alibi_slopes,
                        allow_dropout=False):
     if dropout_p != 0.0 and not allow_dropout:
         raise NotImplementedError(
-            "dropout: supported on flash_attn_func, flash_attn_varlen_func "
-            "and ring_flash_attn_*func via the dropout_seed kwarg (an "
-            "EXTENSION — the reference documents dropout as unsupported, "
-            "README.md:158); not on zigzag/stripe/llama3 paths"
+            "dropout: supported on the flash, flash-varlen, and all batch "
+            "distributed paths via the dropout_seed kwarg (an EXTENSION — "
+            "the reference documents dropout as unsupported, README.md:158)"
+            "; not on varlen-distributed/llama3 paths"
         )
     window_left = None
     if tuple(window_size) != (-1, -1):
@@ -78,11 +78,10 @@ def _check_unsupported(dropout_p, window_size, alibi_slopes,
             )
     if alibi_slopes is not None and not allow_alibi:
         raise NotImplementedError(
-            "alibi_slopes: supported on flash_attn_func, "
-            "flash_attn_varlen_func, ring_flash_attn_*func and "
-            "llama3_flash_attn_varlen_func (an EXTENSION — the reference "
+            "alibi_slopes: supported on the flash, flash-varlen, all batch "
+            "distributed, and llama3 paths (an EXTENSION — the reference "
             "supports it nowhere, ring_flash_attn.py:176); not on "
-            "zigzag/stripe/ring-varlen layouts"
+            "ring/zigzag varlen layouts"
         )
     return window_left
 
@@ -211,8 +210,7 @@ def _batch_variant(schedule_kw):
     ):
         kind = schedule_kw["kind"]
         _check_unsupported(dropout_p, window_size, alibi_slopes,
-                           allow_alibi=(kind == "ring"),
-                           allow_dropout=(kind == "ring"))
+                           allow_alibi=True, allow_dropout=True)
         scale = _scale(softmax_scale, q.shape[-1])
         qi, ki, vi = map(_bshd_to_bhsd, (q, k, v))
         axis = _axis(group)
@@ -230,7 +228,8 @@ def _batch_variant(schedule_kw):
                 )
             out, lse = zigzag_ring_attention(
                 qi, ki, vi, scale=scale, axis_name=axis,
-                softcap=_cap(softcap),
+                softcap=_cap(softcap), alibi_slopes=alibi_slopes,
+                dropout_p=dropout_p or None, dropout_seed=dropout_seed,
             )
         elif kind == "stripe":
             if not causal:
@@ -240,7 +239,8 @@ def _batch_variant(schedule_kw):
                 )
             out, lse = stripe_attention(
                 qi, ki, vi, scale=scale, axis_name=axis,
-                softcap=_cap(softcap),
+                softcap=_cap(softcap), alibi_slopes=alibi_slopes,
+                dropout_p=dropout_p or None, dropout_seed=dropout_seed,
             )
         else:
             raise AssertionError(kind)

@@ -150,3 +150,46 @@ def test_api_alibi_varlen(data):
         )
         got = out[a:b].transpose(1, 0, 2)[None]
         assert jnp.max(jnp.abs(got - ref)) < 2e-5
+
+
+@pytest.mark.parametrize("kind", ["zigzag", "stripe"])
+def test_layout_alibi(devices8, data, kind):
+    """Zigzag/stripe ALiBi via the layouts' closed-form global positions."""
+    from ring_flash_attn_tpu.parallel import layouts
+    from ring_flash_attn_tpu.parallel.stripe import stripe_attention
+    from ring_flash_attn_tpu.parallel.zigzag import zigzag_ring_attention
+
+    mesh = Mesh(devices8, ("sp",))
+    q, k, v, dout = data
+    ref, dq_r, dk_r, dv_r = _ref(q, k, v, dout, causal=True)
+
+    if kind == "zigzag":
+        fn = lambda q, k, v: zigzag_ring_attention(
+            q, k, v, scale=SCALE, axis_name="sp", alibi_slopes=SLOPES
+        )
+        tolocal, restore = layouts.all_local_zigzag, layouts.restore_zigzag
+    else:
+        fn = lambda q, k, v: stripe_attention(
+            q, k, v, scale=SCALE, axis_name="sp", alibi_slopes=SLOPES
+        )
+        tolocal, restore = layouts.all_local_stripe, layouts.restore_stripe
+
+    ql, kl, vl, doutl = (tolocal(x, W, axis=2) for x in (q, k, v, dout))
+
+    @partial(shard_map, mesh=mesh, in_specs=(SPEC4,) * 3,
+             out_specs=(SPEC4, SPEC3), check_vma=False)
+    def sharded(q, k, v):
+        return fn(q, k, v)
+
+    out, _ = jax.jit(sharded)(ql, kl, vl)
+
+    def loss(q, k, v):
+        o, _ = sharded(q, k, v)
+        return jnp.sum(o * doutl)
+
+    dq, dk, dv = jax.jit(jax.grad(loss, (0, 1, 2)))(ql, kl, vl)
+    rs = lambda x: restore(x, W, axis=2)
+    assert jnp.max(jnp.abs(rs(out) - ref)) < 2e-5
+    assert jnp.max(jnp.abs(rs(dq) - dq_r)) < 1e-4
+    assert jnp.max(jnp.abs(rs(dk) - dk_r)) < 1e-4
+    assert jnp.max(jnp.abs(rs(dv) - dv_r)) < 1e-4

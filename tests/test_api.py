@@ -228,15 +228,21 @@ def test_llama3_prepare_cu_seqlens_consistency():
 def test_unsupported_kwargs_raise(data):
     q, k, v = data
     with pytest.raises(NotImplementedError):
-        # dropout is supported on flash/ring paths but not zigzag layouts
-        rfa.zigzag_ring_flash_attn_func(q, k, v, causal=True, dropout_p=0.1)
+        # dropout is not supported on the varlen-distributed layouts
+        rfa.zigzag_ring_flash_attn_varlen_func(
+            q.reshape(-1, HQ, D), k.reshape(-1, HKV, D),
+            v.reshape(-1, HKV, D), jnp.asarray([0, q.shape[1]]),
+            dropout_p=0.1,
+        )
     with pytest.raises(NotImplementedError):
         # sliding windows are single-device-flash only
         rfa.ring_flash_attn_func(q, k, v, window_size=(128, 0))
     with pytest.raises(NotImplementedError):
-        # alibi is supported on flash/ring/llama3 but not zigzag layouts
-        rfa.zigzag_ring_flash_attn_func(
-            q, k, v, causal=True, alibi_slopes=jnp.ones(HQ)
+        # alibi is not supported on the varlen-distributed layouts
+        rfa.ring_flash_attn_varlen_func(
+            q.reshape(-1, HQ, D), k.reshape(-1, HKV, D),
+            v.reshape(-1, HKV, D), jnp.asarray([0, q.shape[1]]),
+            causal=True, alibi_slopes=jnp.ones(HQ),
         )
 
 

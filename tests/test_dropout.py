@@ -199,3 +199,57 @@ def test_api_dropout_traced_seed(data):
     c = f(jnp.int32(SEED + 7))
     assert jnp.array_equal(a, b_)
     assert jnp.max(jnp.abs(a - c)) > 1e-3
+
+
+@pytest.mark.parametrize("kind", ["zigzag", "stripe"])
+def test_layout_dropout_equals_single_device(devices8, data, kind):
+    """Zigzag/stripe dropout uses the layouts' closed-form global positions:
+    still bit-identical to single-device dropout."""
+    from ring_flash_attn_tpu.parallel import layouts
+    from ring_flash_attn_tpu.parallel.stripe import stripe_attention
+    from ring_flash_attn_tpu.parallel.zigzag import zigzag_ring_attention
+
+    mesh = Mesh(devices8, ("sp",))
+    q, k, v, dout = data
+
+    mask = MaskArgs(causal=True, dropout_p=P_DROP, dropout_seed=SEED)
+    ref, _ = flash_attention(q, k, v, SCALE, mask, backend="xla")
+
+    def loss_ref(q, k, v):
+        o, _ = flash_attention(q, k, v, SCALE, mask, backend="xla")
+        return jnp.sum(o * dout)
+
+    dq_r, dk_r, dv_r = jax.grad(loss_ref, (0, 1, 2))(q, k, v)
+
+    if kind == "zigzag":
+        fn = lambda q, k, v: zigzag_ring_attention(
+            q, k, v, scale=SCALE, axis_name="sp", dropout_p=P_DROP,
+            dropout_seed=SEED,
+        )
+        tolocal, restore = layouts.all_local_zigzag, layouts.restore_zigzag
+    else:
+        fn = lambda q, k, v: stripe_attention(
+            q, k, v, scale=SCALE, axis_name="sp", dropout_p=P_DROP,
+            dropout_seed=SEED,
+        )
+        tolocal, restore = layouts.all_local_stripe, layouts.restore_stripe
+
+    ql, kl, vl, doutl = (tolocal(x, W, axis=2) for x in (q, k, v, dout))
+
+    @partial(shard_map, mesh=mesh, in_specs=(SPEC4,) * 3,
+             out_specs=(SPEC4, SPEC3), check_vma=False)
+    def sharded(q, k, v):
+        return fn(q, k, v)
+
+    out, _ = jax.jit(sharded)(ql, kl, vl)
+
+    def loss(q, k, v):
+        o, _ = sharded(q, k, v)
+        return jnp.sum(o * doutl)
+
+    dq, dk, dv = jax.jit(jax.grad(loss, (0, 1, 2)))(ql, kl, vl)
+    rs = lambda x: restore(x, W, axis=2)
+    assert jnp.max(jnp.abs(rs(out) - ref)) < 2e-6
+    assert jnp.max(jnp.abs(rs(dq) - dq_r)) < 1e-5
+    assert jnp.max(jnp.abs(rs(dk) - dk_r)) < 1e-5
+    assert jnp.max(jnp.abs(rs(dv) - dv_r)) < 1e-5
