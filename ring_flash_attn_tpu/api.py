@@ -73,8 +73,8 @@ def _check_unsupported(dropout_p, window_size, alibi_slopes,
             window_left = int(window_size[0])
         else:
             raise NotImplementedError(
-                "window_size: only causal sliding windows (left, 0) on the "
-                "single-device flash path are supported"
+                "window_size: only causal sliding windows (left, 0) are "
+                "supported (flash and batch distributed paths)"
             )
     if alibi_slopes is not None and not allow_alibi:
         raise NotImplementedError(
@@ -209,8 +209,12 @@ def _batch_variant(schedule_kw):
         return_attn_probs=False, group=None, dropout_seed=None,
     ):
         kind = schedule_kw["kind"]
-        _check_unsupported(dropout_p, window_size, alibi_slopes,
-                           allow_alibi=True, allow_dropout=True)
+        window_left = _check_unsupported(
+            dropout_p, window_size, alibi_slopes,
+            allow_window=True, allow_alibi=True, allow_dropout=True,
+        )
+        if window_left is not None and not causal:
+            raise NotImplementedError("sliding window requires causal=True")
         scale = _scale(softmax_scale, q.shape[-1])
         qi, ki, vi = map(_bshd_to_bhsd, (q, k, v))
         axis = _axis(group)
@@ -219,6 +223,7 @@ def _batch_variant(schedule_kw):
                 qi, ki, vi, scale=scale, causal=causal, axis_name=axis,
                 softcap=_cap(softcap), alibi_slopes=alibi_slopes,
                 dropout_p=dropout_p or None, dropout_seed=dropout_seed,
+                window_left=window_left,
             )
         elif kind == "zigzag":
             if not causal:
@@ -230,6 +235,7 @@ def _batch_variant(schedule_kw):
                 qi, ki, vi, scale=scale, axis_name=axis,
                 softcap=_cap(softcap), alibi_slopes=alibi_slopes,
                 dropout_p=dropout_p or None, dropout_seed=dropout_seed,
+                window_left=window_left,
             )
         elif kind == "stripe":
             if not causal:
@@ -241,6 +247,7 @@ def _batch_variant(schedule_kw):
                 qi, ki, vi, scale=scale, axis_name=axis,
                 softcap=_cap(softcap), alibi_slopes=alibi_slopes,
                 dropout_p=dropout_p or None, dropout_seed=dropout_seed,
+                window_left=window_left,
             )
         else:
             raise AssertionError(kind)

@@ -38,12 +38,25 @@ from .mesh import ring_rotate, ring_size, ring_rank
 
 def _step_mask(step, rank, w, l_kv, causal, extras):
     """MaskArgs for ring step `step`. Position-dependent extras (ALiBi,
-    dropout) force absolute coordinates; otherwise offsets stay None so the
-    diagonal step keeps its static triangular grid."""
+    dropout, sliding window) force global coordinates; otherwise offsets
+    stay None so the diagonal step keeps its static triangular grid.
+
+    A sliding window needs the position comparison on EVERY step (the
+    resident shard may be partially out of window), so those steps carry
+    causal=True with the step's global offset — the causal half of the
+    mask is then trivially true (all resident kv is earlier) and only the
+    window bound bites."""
     kw = dict(extras)
-    if extras.get("alibi_slopes") is not None or extras.get("dropout_p"):
+    window = kw.pop("window_left", None)
+    need_abs = kw.get("alibi_slopes") is not None or kw.get("dropout_p")
+    if need_abs:
         src = (rank - step) % w
         kw.update(offset=rank * l_kv, kv_offset=src * l_kv)
+    if window is not None:
+        kw.update(window_left=window)
+        if not need_abs and step > 0:
+            kw.update(offset=(rank - (rank - step) % w) * l_kv)
+        return MaskArgs(causal=True, **kw)
     return MaskArgs(causal=causal and step == 0, **kw)
 
 
@@ -123,14 +136,16 @@ def _ring_bwd(q, k, v, out, lse, dout, scale, causal, axis_name, backend,
 
 def ring_attention(q, k, v, *, scale, causal, axis_name, backend=None,
                    softcap=None, alibi_slopes=None, dropout_p=None,
-                   dropout_seed=None):
+                   dropout_seed=None, window_left=None):
     """Differentiable basic ring attention on per-shard (B,H,S,D) tensors.
 
     Must be called inside shard_map with q/k/v sharded contiguously along S
     over `axis_name`. Returns (out in q.dtype, lse fp32 (B,H,S)).
     """
+    if window_left is not None:
+        assert causal, "sliding window requires causal=True"
     base = dict(softcap=softcap, alibi_slopes=alibi_slopes,
-                dropout_p=dropout_p)
+                dropout_p=dropout_p, window_left=window_left)
     # the seed may be a tracer (per-step training seeds), which custom_vjp
     # can't close over — it rides as an explicit zero-cotangent argument
     seed = jnp.asarray(

@@ -47,7 +47,8 @@ def _step_masks(step, rank, w, l_local, extras):
     explicit global positions subsume the offset trick (positional causal
     is exact in both cases)."""
     need_pos = (extras.get("alibi_slopes") is not None
-                or extras.get("dropout_p"))
+                or extras.get("dropout_p")
+                or extras.get("window_left") is not None)
     if not need_pos:
         m = lambda **kw: MaskArgs(
             softcap=extras.get("softcap"), dropout_seed=None, **kw)
@@ -135,7 +136,7 @@ def _stripe_bwd(q, k, v, out, lse, dout, scale, axis_name, backend,
 
 def stripe_attention(q, k, v, *, scale, axis_name, backend=None,
                      softcap=None, alibi_slopes=None, dropout_p=None,
-                     dropout_seed=None):
+                     dropout_seed=None, window_left=None):
     """Differentiable stripe attention on per-shard (B,H,S,D) tensors.
 
     Causal-only. q/k/v must be laid out per extract_local_stripe. Returns
@@ -143,7 +144,7 @@ def stripe_attention(q, k, v, *, scale, axis_name, backend=None,
     """
 
     base = dict(softcap=softcap, alibi_slopes=alibi_slopes,
-                dropout_p=dropout_p)
+                dropout_p=dropout_p, window_left=window_left)
     seed = jnp.asarray(
         0 if dropout_seed is None else dropout_seed, jnp.int32
     )

@@ -49,9 +49,10 @@ def _zigzag_positions(rk, w, half):
 
 def _step_masks(step, rank, w, half, extras):
     """(diag_mask, earlier_mask, later_mask) for this step; explicit global
-    positions only when ALiBi/dropout demand them."""
+    positions only when ALiBi/dropout/window demand them."""
+    window = extras.get("window_left")
     need_pos = (extras.get("alibi_slopes") is not None
-                or extras.get("dropout_p"))
+                or extras.get("dropout_p") or window is not None)
     if not need_pos:
         m = lambda **kw: MaskArgs(
             softcap=extras.get("softcap"), dropout_seed=None, **kw)
@@ -60,10 +61,14 @@ def _step_masks(step, rank, w, half, extras):
     src = jax.lax.rem(rank - step + w, w)
     kvpos = _zigzag_positions(src, w, half)
     m = lambda **kw: MaskArgs(**extras, **kw)
+    # a window must be evaluated on every step; with positions the causal
+    # half of the comparison is trivially true off-diagonal, so causal=True
+    # there is the identity plus the window bound
+    cz = window is not None
     return (
         m(causal=True, q_pos=qpos, kv_pos=qpos),
-        m(q_pos=qpos, kv_pos=kvpos[:half]),
-        m(q_pos=qpos[half:], kv_pos=kvpos),
+        m(causal=cz, q_pos=qpos, kv_pos=kvpos[:half]),
+        m(causal=cz, q_pos=qpos[half:], kv_pos=kvpos),
     )
 
 
@@ -175,14 +180,14 @@ def _zigzag_bwd(q, k, v, out, lse, dout, scale, axis_name, backend,
 
 def zigzag_ring_attention(q, k, v, *, scale, axis_name, backend=None,
                           softcap=None, alibi_slopes=None, dropout_p=None,
-                          dropout_seed=None):
+                          dropout_seed=None, window_left=None):
     """Differentiable zigzag ring attention on per-shard (B,H,S,D) tensors.
 
     Causal-only. q/k/v must be laid out per extract_local_zigzag. Returns
     (out in q.dtype, lse fp32 (B,H,S)).
     """
     base = dict(softcap=softcap, alibi_slopes=alibi_slopes,
-                dropout_p=dropout_p)
+                dropout_p=dropout_p, window_left=window_left)
     seed = jnp.asarray(
         0 if dropout_seed is None else dropout_seed, jnp.int32
     )

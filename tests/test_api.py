@@ -235,8 +235,9 @@ def test_unsupported_kwargs_raise(data):
             dropout_p=0.1,
         )
     with pytest.raises(NotImplementedError):
-        # sliding windows are single-device-flash only
-        rfa.ring_flash_attn_func(q, k, v, window_size=(128, 0))
+        # only causal (left, 0) windows exist; bidirectional ones don't
+        rfa.ring_flash_attn_func(q, k, v, causal=True,
+                                 window_size=(128, 128))
     with pytest.raises(NotImplementedError):
         # alibi is not supported on the varlen-distributed layouts
         rfa.ring_flash_attn_varlen_func(
