@@ -58,10 +58,9 @@ def _check_unsupported(dropout_p, window_size, alibi_slopes,
                        allow_dropout=False):
     if dropout_p != 0.0 and not allow_dropout:
         raise NotImplementedError(
-            "dropout: supported on the flash, flash-varlen, and all batch "
-            "distributed paths via the dropout_seed kwarg (an EXTENSION — "
-            "the reference documents dropout as unsupported, README.md:158)"
-            "; not on varlen-distributed/llama3 paths"
+            "dropout: supported everywhere except the llama3 path, via the "
+            "dropout_seed kwarg (an EXTENSION — the reference documents "
+            "dropout as unsupported, README.md:158)"
         )
     window_left = None
     if tuple(window_size) != (-1, -1):
@@ -78,10 +77,9 @@ def _check_unsupported(dropout_p, window_size, alibi_slopes,
             )
     if alibi_slopes is not None and not allow_alibi:
         raise NotImplementedError(
-            "alibi_slopes: supported on the flash, flash-varlen, all batch "
-            "distributed, and llama3 paths (an EXTENSION — the reference "
-            "supports it nowhere, ring_flash_attn.py:176); not on "
-            "ring/zigzag varlen layouts"
+            "alibi_slopes is not supported on this path (it is an EXTENSION "
+            "elsewhere — the reference supports it nowhere, "
+            "ring_flash_attn.py:176)"
         )
     return window_left
 
@@ -293,13 +291,14 @@ def ring_flash_attn_varlen_func(
     dropout_p=0.0, softmax_scale=None, causal=False,
     window_size=(-1, -1), softcap=0.0, alibi_slopes=None,
     deterministic=False,
-    return_attn_probs=False, group=None,
+    return_attn_probs=False, group=None, dropout_seed=None,
 ):
     """Varlen ring attention. q/k/v (T_local, H, D) packed; cu_seqlens is
     the shared LOCAL cu_seqlens (= global // world, identical on every
     rank — the reference's single-cu_seqlens constraint, README.md:74).
     Layout: rank r holds part r of every sequence."""
-    _check_unsupported(dropout_p, window_size, alibi_slopes)
+    _check_unsupported(dropout_p, window_size, alibi_slopes,
+                       allow_alibi=True, allow_dropout=True)
     axis = _axis(group)
     t = q.shape[0]
     rank = lax.axis_index(axis)
@@ -308,7 +307,8 @@ def ring_flash_attn_varlen_func(
         q.transpose(1, 0, 2)[None], k.transpose(1, 0, 2)[None],
         v.transpose(1, 0, 2)[None], seg, pos,
         scale=_scale(softmax_scale, q.shape[-1]), causal=causal,
-        axis_name=axis, softcap=_cap(softcap),
+        axis_name=axis, softcap=_cap(softcap), alibi_slopes=alibi_slopes,
+        dropout_p=dropout_p or None, dropout_seed=dropout_seed,
     )
     out = out[0].transpose(1, 0, 2)
     if return_attn_probs:
@@ -335,13 +335,14 @@ def zigzag_ring_flash_attn_varlen_func(
     dropout_p=0.0, softmax_scale=None, causal=True,
     window_size=(-1, -1), softcap=0.0, alibi_slopes=None,
     deterministic=False,
-    return_attn_probs=False, group=None,
+    return_attn_probs=False, group=None, dropout_seed=None,
 ):
     """Zigzag varlen ring attention (grouped layout — see
     parallel/zigzag_varlen.py and ops/varlen.py for the layout change vs
     the reference). cu_seqlens is the shared local cu_seqlens
     (= global // world); every sequence length divisible by 2*world."""
-    _check_unsupported(dropout_p, window_size, alibi_slopes)
+    _check_unsupported(dropout_p, window_size, alibi_slopes,
+                       allow_alibi=True, allow_dropout=True)
     if not causal:
         raise ValueError("zigzag varlen is causal-only")
     axis = _axis(group)
@@ -354,7 +355,8 @@ def zigzag_ring_flash_attn_varlen_func(
         q.transpose(1, 0, 2)[None], k.transpose(1, 0, 2)[None],
         v.transpose(1, 0, 2)[None], seg, pos,
         scale=_scale(softmax_scale, q.shape[-1]), axis_name=axis,
-        softcap=_cap(softcap),
+        softcap=_cap(softcap), alibi_slopes=alibi_slopes,
+        dropout_p=dropout_p or None, dropout_seed=dropout_seed,
     )
     out = out[0].transpose(1, 0, 2)
     if return_attn_probs:

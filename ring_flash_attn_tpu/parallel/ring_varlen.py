@@ -17,7 +17,11 @@ within-sequence positions (ops/varlen.py):
   step > rank:       skipped when causal (lax.cond), segments-only otherwise
 
 Only the kv segment ids rotate with kv; positions are needed only on the
-diagonal step. The varlen LSE flatten/unflatten machinery of the reference
+diagonal step — unless ALiBi or deterministic dropout is enabled (both
+EXTENSIONS the reference supports nowhere), in which case the positions
+rotate alongside so every step has the within-sequence coordinates they
+need; dropout then stays bit-identical to single-device varlen dropout.
+The varlen LSE flatten/unflatten machinery of the reference
 (triton_utils.py) does not exist here: LSE is flat (B,H,T) by design.
 """
 
@@ -31,62 +35,80 @@ from ..ops.merge import merge_partials
 from .mesh import ring_rotate, ring_size, ring_rank
 
 
-def _fwd(q, k, v, segids, pos, scale, causal, axis_name, backend,
-         softcap=None):
+def _need_pos(extras):
+    return (extras.get("alibi_slopes") is not None
+            or extras.get("dropout_p"))
+
+
+def _fwd(q, k, v, segids, pos, scale, causal, axis_name, backend, extras):
     w = ring_size(axis_name)
     rank = ring_rank(axis_name)
     kv = jnp.stack([k, v])
     kseg = segids
+    kpos = pos if _need_pos(extras) else None
     out = lse = None
     for step in range(w):
         kv_next = ring_rotate(kv, axis_name) if step < w - 1 else None
         kseg_next = ring_rotate(kseg, axis_name) if step < w - 1 else None
+        kpos_next = (
+            ring_rotate(kpos, axis_name)
+            if kpos is not None and step < w - 1 else None
+        )
         kk, vv = kv[0], kv[1]
         if step == 0:
             mask = MaskArgs(
-                softcap=softcap, causal=causal, q_segids=segids, kv_segids=kseg,
-                q_pos=pos if causal else None,
-                kv_pos=pos if causal else None,
+                causal=causal, q_segids=segids, kv_segids=kseg,
+                q_pos=pos if (causal or kpos is not None) else None,
+                kv_pos=pos if (causal or kpos is not None) else None,
+                **extras,
             )
             b_out, b_lse = block_fwd(q, kk, vv, scale, mask, backend)
             out, lse = merge_partials(None, None, b_out, b_lse)
         elif not causal:
             mask = MaskArgs(q_segids=segids, kv_segids=kseg,
-                            softcap=softcap)
+                            q_pos=pos if kpos is not None else None,
+                            kv_pos=kpos, **extras)
             b_out, b_lse = block_fwd(q, kk, vv, scale, mask, backend)
             out, lse = merge_partials(out, lse, b_out, b_lse)
         else:
 
-            def _compute(args, kk=kk, vv=vv, kseg=kseg):
+            def _compute(args, kk=kk, vv=vv, kseg=kseg, kpos=kpos):
                 out, lse = args
                 mask = MaskArgs(q_segids=segids, kv_segids=kseg,
-                            softcap=softcap)
+                                q_pos=pos if kpos is not None else None,
+                                kv_pos=kpos, **extras)
                 b_out, b_lse = block_fwd(q, kk, vv, scale, mask, backend)
                 return merge_partials(out, lse, b_out, b_lse)
 
             out, lse = lax.cond(step <= rank, _compute, lambda a: a, (out, lse))
-        kv, kseg = kv_next, kseg_next
+        kv, kseg, kpos = kv_next, kseg_next, kpos_next
     return out, lse
 
 
 def _bwd(q, k, v, segids, pos, out, lse, dout, scale, causal, axis_name,
-         backend, softcap=None):
+         backend, extras):
     w = ring_size(axis_name)
     rank = ring_rank(axis_name)
     delta = compute_delta(dout, out)
     kv = jnp.stack([k, v])
     kseg = segids
+    kpos = pos if _need_pos(extras) else None
     dq = jnp.zeros(q.shape, jnp.float32)
     dkv = jnp.zeros((2,) + k.shape, jnp.float32)
     for step in range(w):
         kv_next = ring_rotate(kv, axis_name) if step < w - 1 else None
         kseg_next = ring_rotate(kseg, axis_name) if step < w - 1 else None
+        kpos_next = (
+            ring_rotate(kpos, axis_name)
+            if kpos is not None and step < w - 1 else None
+        )
         kk, vv = kv[0], kv[1]
         if step == 0:
             mask = MaskArgs(
-                softcap=softcap, causal=causal, q_segids=segids, kv_segids=kseg,
-                q_pos=pos if causal else None,
-                kv_pos=pos if causal else None,
+                causal=causal, q_segids=segids, kv_segids=kseg,
+                q_pos=pos if (causal or kpos is not None) else None,
+                kv_pos=pos if (causal or kpos is not None) else None,
+                **extras,
             )
             b_dq, b_dk, b_dv = block_bwd(
                 dout, q, kk, vv, lse, delta, scale, mask, backend
@@ -95,7 +117,8 @@ def _bwd(q, k, v, segids, pos, out, lse, dout, scale, causal, axis_name,
             dkv = dkv + jnp.stack([b_dk, b_dv])
         elif not causal:
             mask = MaskArgs(q_segids=segids, kv_segids=kseg,
-                            softcap=softcap)
+                            q_pos=pos if kpos is not None else None,
+                            kv_pos=kpos, **extras)
             b_dq, b_dk, b_dv = block_bwd(
                 dout, q, kk, vv, lse, delta, scale, mask, backend
             )
@@ -103,10 +126,11 @@ def _bwd(q, k, v, segids, pos, out, lse, dout, scale, causal, axis_name,
             dkv = dkv + jnp.stack([b_dk, b_dv])
         else:
 
-            def _compute(args, kk=kk, vv=vv, kseg=kseg):
+            def _compute(args, kk=kk, vv=vv, kseg=kseg, kpos=kpos):
                 dq, dkv = args
                 mask = MaskArgs(q_segids=segids, kv_segids=kseg,
-                            softcap=softcap)
+                                q_pos=pos if kpos is not None else None,
+                                kv_pos=kpos, **extras)
                 b_dq, b_dk, b_dv = block_bwd(
                     dout, q, kk, vv, lse, delta, scale, mask, backend
                 )
@@ -114,40 +138,47 @@ def _bwd(q, k, v, segids, pos, out, lse, dout, scale, causal, axis_name,
 
             dq, dkv = lax.cond(step <= rank, _compute, lambda a: a, (dq, dkv))
         dkv = ring_rotate(dkv, axis_name)
-        kv, kseg = kv_next, kseg_next
+        kv, kseg, kpos = kv_next, kseg_next, kpos_next
     return dq, dkv[0], dkv[1]
 
 
 def ring_attention_varlen(q, k, v, segids, positions, *, scale, causal,
-                          axis_name, backend=None, softcap=None):
+                          axis_name, backend=None, softcap=None,
+                          alibi_slopes=None, dropout_p=None,
+                          dropout_seed=None):
     """Differentiable varlen ring attention on per-shard packed (B,H,T,D).
 
     segids/positions: (T_local,) int32 per ops.varlen.ring_varlen_info.
     Call inside shard_map. Returns (out in q.dtype, lse fp32 (B,H,T)).
     """
+    base = dict(softcap=softcap, alibi_slopes=alibi_slopes,
+                dropout_p=dropout_p)
+    seed = jnp.asarray(
+        0 if dropout_seed is None else dropout_seed, jnp.int32
+    )
 
     @jax.custom_vjp
-    def f(q, k, v, segids, positions):
+    def f(q, k, v, segids, positions, seed):
         out, lse = _fwd(
             q, k, v, segids, positions, scale, causal, axis_name, backend,
-            softcap,
+            dict(base, dropout_seed=seed),
         )
         return out.astype(q.dtype), lse
 
-    def f_fwd(q, k, v, segids, positions):
+    def f_fwd(q, k, v, segids, positions, seed):
         out, lse = _fwd(
             q, k, v, segids, positions, scale, causal, axis_name, backend,
-            softcap,
+            dict(base, dropout_seed=seed),
         )
         out = out.astype(q.dtype)
-        return (out, lse), (q, k, v, segids, positions, out, lse)
+        return (out, lse), (q, k, v, segids, positions, seed, out, lse)
 
     def f_bwd(res, grads):
-        q, k, v, segids, positions, out, lse = res
+        q, k, v, segids, positions, seed, out, lse = res
         dout, _ = grads
         dq, dk, dv = _bwd(
             q, k, v, segids, positions, out, lse, dout, scale, causal,
-            axis_name, backend, softcap,
+            axis_name, backend, dict(base, dropout_seed=seed),
         )
         return (
             dq.astype(q.dtype),
@@ -155,7 +186,8 @@ def ring_attention_varlen(q, k, v, segids, positions, *, scale, causal,
             dv.astype(v.dtype),
             None,
             None,
+            None,
         )
 
     f.defvjp(f_fwd, f_bwd)
-    return f(q, k, v, segids, positions)
+    return f(q, k, v, segids, positions, seed)

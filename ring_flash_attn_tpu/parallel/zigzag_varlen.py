@@ -26,40 +26,53 @@ from ..ops.merge import merge_partials
 from .mesh import ring_rotate, ring_size, ring_rank
 
 
-def _fwd(q, k, v, segids, pos, scale, axis_name, backend, softcap=None):
+def _need_pos(extras):
+    return (extras.get("alibi_slopes") is not None
+            or extras.get("dropout_p"))
+
+
+def _fwd(q, k, v, segids, pos, scale, axis_name, backend, extras):
     w = ring_size(axis_name)
     rank = ring_rank(axis_name)
     half = q.shape[2] // 2
     kv = jnp.stack([k, v])
     kseg = segids
+    kpos = pos if _need_pos(extras) else None
     out = lse = None
     for step in range(w):
         kv_next = ring_rotate(kv, axis_name) if step < w - 1 else None
         kseg_next = ring_rotate(kseg, axis_name) if step < w - 1 else None
+        kpos_next = (
+            ring_rotate(kpos, axis_name)
+            if kpos is not None and step < w - 1 else None
+        )
         kk, vv = kv[0], kv[1]
         if step == 0:
             mask = MaskArgs(
-                softcap=softcap, causal=True, q_segids=segids, kv_segids=kseg,
-                q_pos=pos, kv_pos=pos,
+                causal=True, q_segids=segids, kv_segids=kseg,
+                q_pos=pos, kv_pos=pos, **extras,
             )
             b_out, b_lse = block_fwd(q, kk, vv, scale, mask, backend)
             out, lse = merge_partials(None, None, b_out, b_lse)
-            kv, kseg = kv_next, kseg_next
+            kv, kseg, kpos = kv_next, kseg_next, kpos_next
             continue
 
-        def _earlier(args, kk=kk, vv=vv, kseg=kseg):
+        def _earlier(args, kk=kk, vv=vv, kseg=kseg, kpos=kpos):
             out, lse = args
             mask = MaskArgs(q_segids=segids, kv_segids=kseg[:half],
-                            softcap=softcap)
+                            q_pos=pos if kpos is not None else None,
+                            kv_pos=kpos[:half] if kpos is not None else None,
+                            **extras)
             b_out, b_lse = block_fwd(
                 q, kk[:, :, :half], vv[:, :, :half], scale, mask, backend
             )
             return merge_partials(out, lse, b_out, b_lse)
 
-        def _later(args, kk=kk, vv=vv, kseg=kseg):
+        def _later(args, kk=kk, vv=vv, kseg=kseg, kpos=kpos):
             out, lse = args
             mask = MaskArgs(q_segids=segids[half:], kv_segids=kseg,
-                            softcap=softcap)
+                            q_pos=pos[half:] if kpos is not None else None,
+                            kv_pos=kpos, **extras)
             b_out, b_lse = block_fwd(
                 q[:, :, half:], kk, vv, scale, mask, backend
             )
@@ -71,12 +84,12 @@ def _fwd(q, k, v, segids, pos, scale, axis_name, backend, softcap=None):
             return out, lse
 
         out, lse = lax.cond(step <= rank, _earlier, _later, (out, lse))
-        kv, kseg = kv_next, kseg_next
+        kv, kseg, kpos = kv_next, kseg_next, kpos_next
     return out, lse
 
 
 def _bwd(q, k, v, segids, pos, out, lse, dout, scale, axis_name, backend,
-         softcap=None):
+         extras):
     w = ring_size(axis_name)
     rank = ring_rank(axis_name)
     half = q.shape[2] // 2
@@ -87,17 +100,22 @@ def _bwd(q, k, v, segids, pos, out, lse, dout, scale, axis_name, backend,
 
     kv = jnp.stack([k, v])
     kseg = segids
+    kpos = pos if _need_pos(extras) else None
     dq = jnp.zeros(q.shape, jnp.float32)
     dkv = jnp.zeros((2,) + k.shape, jnp.float32)
     for step in range(w):
         kv_next = ring_rotate(kv, axis_name) if step < w - 1 else None
         kseg_next = ring_rotate(kseg, axis_name) if step < w - 1 else None
+        kpos_next = (
+            ring_rotate(kpos, axis_name)
+            if kpos is not None and step < w - 1 else None
+        )
         kk, vv = kv[0], kv[1]
 
         if step == 0:
             mask = MaskArgs(
-                softcap=softcap, causal=True, q_segids=segids, kv_segids=kseg,
-                q_pos=pos, kv_pos=pos,
+                causal=True, q_segids=segids, kv_segids=kseg,
+                q_pos=pos, kv_pos=pos, **extras,
             )
             b_dq, b_dk, b_dv = block_bwd(
                 dout, q, kk, vv, lse, delta, scale, mask, backend
@@ -105,13 +123,15 @@ def _bwd(q, k, v, segids, pos, out, lse, dout, scale, axis_name, backend,
             dq = dq + b_dq
             dkv = dkv + jnp.stack([b_dk, b_dv])
             dkv = ring_rotate(dkv, axis_name)
-            kv, kseg = kv_next, kseg_next
+            kv, kseg, kpos = kv_next, kseg_next, kpos_next
             continue
 
-        def _earlier(args, kk=kk, vv=vv, kseg=kseg):
+        def _earlier(args, kk=kk, vv=vv, kseg=kseg, kpos=kpos):
             dq, dkv = args
             mask = MaskArgs(q_segids=segids, kv_segids=kseg[:half],
-                            softcap=softcap)
+                            q_pos=pos if kpos is not None else None,
+                            kv_pos=kpos[:half] if kpos is not None else None,
+                            **extras)
             b_dq, b_dk, b_dv = block_bwd(
                 dout, q, kk[:, :, :half], vv[:, :, :half], lse, delta,
                 scale, mask, backend,
@@ -120,10 +140,11 @@ def _bwd(q, k, v, segids, pos, out, lse, dout, scale, axis_name, backend,
             dkv = lax.dynamic_update_slice_in_dim(dkv, dkv_half, 0, axis=3)
             return dq + b_dq, dkv
 
-        def _later(args, kk=kk, vv=vv, kseg=kseg):
+        def _later(args, kk=kk, vv=vv, kseg=kseg, kpos=kpos):
             dq, dkv = args
             mask = MaskArgs(q_segids=seg1, kv_segids=kseg,
-                            softcap=softcap)
+                            q_pos=pos[half:] if kpos is not None else None,
+                            kv_pos=kpos, **extras)
             b_dq, b_dk, b_dv = block_bwd(
                 dout1, q1, kk, vv, lse1, delta1, scale, mask, backend
             )
@@ -133,36 +154,44 @@ def _bwd(q, k, v, segids, pos, out, lse, dout, scale, axis_name, backend,
 
         dq, dkv = lax.cond(step <= rank, _earlier, _later, (dq, dkv))
         dkv = ring_rotate(dkv, axis_name)
-        kv, kseg = kv_next, kseg_next
+        kv, kseg, kpos = kv_next, kseg_next, kpos_next
     return dq, dkv[0], dkv[1]
 
 
 def zigzag_ring_attention_varlen(q, k, v, segids, positions, *, scale,
-                                 axis_name, backend=None, softcap=None):
+                                 axis_name, backend=None, softcap=None,
+                                 alibi_slopes=None, dropout_p=None,
+                                 dropout_seed=None):
     """Differentiable zigzag varlen ring attention (grouped layout).
 
     segids/positions: (T_local,) int32 per ops.varlen.zigzag_varlen_info.
     Causal only. Call inside shard_map.
     """
 
+    base = dict(softcap=softcap, alibi_slopes=alibi_slopes,
+                dropout_p=dropout_p)
+    seed = jnp.asarray(
+        0 if dropout_seed is None else dropout_seed, jnp.int32
+    )
+
     @jax.custom_vjp
-    def f(q, k, v, segids, positions):
+    def f(q, k, v, segids, positions, seed):
         out, lse = _fwd(q, k, v, segids, positions, scale, axis_name, backend,
-                        softcap)
+                        dict(base, dropout_seed=seed))
         return out.astype(q.dtype), lse
 
-    def f_fwd(q, k, v, segids, positions):
+    def f_fwd(q, k, v, segids, positions, seed):
         out, lse = _fwd(q, k, v, segids, positions, scale, axis_name, backend,
-                        softcap)
+                        dict(base, dropout_seed=seed))
         out = out.astype(q.dtype)
-        return (out, lse), (q, k, v, segids, positions, out, lse)
+        return (out, lse), (q, k, v, segids, positions, seed, out, lse)
 
     def f_bwd(res, grads):
-        q, k, v, segids, positions, out, lse = res
+        q, k, v, segids, positions, seed, out, lse = res
         dout, _ = grads
         dq, dk, dv = _bwd(
             q, k, v, segids, positions, out, lse, dout, scale, axis_name,
-            backend, softcap,
+            backend, dict(base, dropout_seed=seed),
         )
         return (
             dq.astype(q.dtype),
@@ -170,7 +199,8 @@ def zigzag_ring_attention_varlen(q, k, v, segids, positions, *, scale,
             dv.astype(v.dtype),
             None,
             None,
+            None,
         )
 
     f.defvjp(f_fwd, f_bwd)
-    return f(q, k, v, segids, positions)
+    return f(q, k, v, segids, positions, seed)

@@ -193,3 +193,51 @@ def test_layout_alibi(devices8, data, kind):
     assert jnp.max(jnp.abs(rs(dq) - dq_r)) < 1e-4
     assert jnp.max(jnp.abs(rs(dk) - dk_r)) < 1e-4
     assert jnp.max(jnp.abs(rs(dv) - dv_r)) < 1e-4
+
+
+def test_ring_varlen_alibi(devices8, data):
+    """Varlen ring ALiBi: rotated within-sequence positions give the same
+    result as single-device varlen ALiBi."""
+    import numpy as np
+    from ring_flash_attn_tpu.api import (
+        flash_attn_varlen_func,
+        ring_flash_attn_varlen_func,
+    )
+    from ring_flash_attn_tpu.ops import varlen as V
+
+    mesh = Mesh(devices8, ("sp",))
+    q, k, v, _ = data
+    q1, k1, v1 = (x[0].transpose(1, 0, 2) for x in (q, k, v))
+    CU = np.array([0, 96, 160, 256])
+
+    ref = flash_attn_varlen_func(
+        q1, k1, v1, jnp.asarray(CU), causal=True, alibi_slopes=SLOPES
+    )
+
+    def tolocal(x):
+        return jnp.concatenate(
+            [jnp.asarray(V.extract_local_ring_varlen(np.asarray(x), CU,
+                                                     r, W, axis=0))
+             for r in range(W)], axis=0)
+
+    ql, kl, vl = map(tolocal, (q1, k1, v1))
+    cu_local = jnp.asarray(CU // W, jnp.int32)
+
+    @partial(shard_map, mesh=mesh, in_specs=(P("sp"),) * 3,
+             out_specs=P("sp"), check_vma=False)
+    def f(q, k, v):
+        return ring_flash_attn_varlen_func(
+            q, k, v, cu_local, causal=True, group="sp", alibi_slopes=SLOPES
+        )
+
+    out = jax.jit(f)(ql, kl, vl)
+    out_g = np.zeros_like(np.asarray(out))
+    t_local = 256 // W
+    for r in range(W):
+        shard = np.asarray(out)[r * t_local:(r + 1) * t_local]
+        off = 0
+        for i in range(len(CU) - 1):
+            li = (CU[i + 1] - CU[i]) // W
+            out_g[CU[i] + r * li: CU[i] + (r + 1) * li] = shard[off:off + li]
+            off += li
+    assert np.max(np.abs(out_g - np.asarray(ref))) < 2e-5
