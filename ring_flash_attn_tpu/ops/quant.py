@@ -83,7 +83,7 @@ def update_cache(cache: QuantizedKV, k_new, v_new, index):
 
 
 def quant_decode_attention(q, cache: QuantizedKV, length, scale,
-                           pos_offset=0):
+                           pos_offset=0, softcap=None):
     """Decode attention of q (B, Hq, Tq, D) against the quantized cache.
 
     length: number of valid cache positions (traced ok); positions >= length
@@ -102,6 +102,9 @@ def quant_decode_attention(q, cache: QuantizedKV, length, scale,
         "bhqd,bhkd->bhqk", qf, cache.k_q.astype(jnp.float32),
         preferred_element_type=jnp.float32,
     ) * cache.k_scale[:, :, None, :] * scale
+    if softcap:
+        # Gemma-2 style tanh capping, matching the training kernels
+        logits = softcap * jnp.tanh(logits / softcap)
     valid = (
         jnp.arange(s, dtype=jnp.int32)[None, None, None, :] < length
     )

@@ -38,7 +38,7 @@ def merge_across_axis(out, lse, axis_name):
 
 
 def sharded_quant_decode(q, cache: QuantizedKV, total_length, scale,
-                         axis_name):
+                         axis_name, softcap=None):
     """Per-shard decode step (call inside shard_map).
 
     q (B, Hq, Tq, D) replicated new-token queries; cache = this rank's
@@ -51,7 +51,7 @@ def sharded_quant_decode(q, cache: QuantizedKV, total_length, scale,
     start = rank * s_shard
     local_len = jnp.clip(total_length - start, 0, s_shard)
     out, lse = quant_decode_attention(
-        q, cache, local_len, scale, pos_offset=start
+        q, cache, local_len, scale, pos_offset=start, softcap=softcap
     )
     out, lse = merge_across_axis(out, lse, axis_name)
     return out.astype(q.dtype), lse

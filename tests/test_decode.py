@@ -150,3 +150,32 @@ def test_sharded_cache_update(devices8):
     mask = np.ones(S, bool)
     mask[3 * s_shard + 5] = False
     assert jnp.all(kq[:, :, mask] == 0)
+
+
+def test_quant_decode_softcap():
+    """Softcap (Gemma-2) on the quantized decode path vs a dense capped
+    oracle on the dequantized cache."""
+    import jax
+    import jax.numpy as jnp
+    from ring_flash_attn_tpu.ops.quant import (
+        quantize_kv, quant_decode_attention,
+    )
+
+    B, HQ, HKV, S, D, CAP = 1, 4, 2, 128, 64, 8.0
+    q = jax.random.normal(jax.random.PRNGKey(0), (B, HQ, 1, D), jnp.float32)
+    k = jax.random.normal(jax.random.PRNGKey(1), (B, HKV, S, D), jnp.float32)
+    v = jax.random.normal(jax.random.PRNGKey(2), (B, HKV, S, D), jnp.float32)
+    cache = quantize_kv(k, v)
+    out, _ = quant_decode_attention(q, cache, S, D**-0.5, softcap=CAP)
+
+    # oracle on the dequantized cache values (isolates the softcap math
+    # from quantization error)
+    kd = cache.k_q.astype(jnp.float32) * cache.k_scale[..., None]
+    vd = cache.v_q.astype(jnp.float32) * cache.v_scale[..., None]
+    g = HQ // HKV
+    qf = q.astype(jnp.float32).reshape(B, HKV, g, D)
+    s_ = jnp.einsum("bhgd,bhkd->bhgk", qf, kd) * (D**-0.5)
+    s_ = CAP * jnp.tanh(s_ / CAP)
+    p = jax.nn.softmax(s_, axis=-1)
+    ref = jnp.einsum("bhgk,bhkd->bhgd", p, vd).reshape(B, HQ, 1, D)
+    assert jnp.max(jnp.abs(out - ref)) < 1e-4
