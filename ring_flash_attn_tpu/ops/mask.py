@@ -78,6 +78,10 @@ class MaskArgs(NamedTuple):
     # dropout == single-device dropout, exactly.
     dropout_p: Optional[float] = None  # static; None/0 = disabled
     dropout_seed: Optional[Any] = None  # int or traced int32 scalar
+    # global index of q head 0 (int or traced; None = 0). Head-sharded
+    # schedules (Ulysses A2A) pass rank * Hq/W so the dropout hash and
+    # ALiBi slope indexing see GLOBAL head ids.
+    head_offset: Optional[Any] = None
 
     @property
     def has_position_mask(self):

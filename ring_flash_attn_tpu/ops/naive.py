@@ -42,6 +42,8 @@ def _dropout_keep_dense(mask: MaskArgs, b, hkv, g, sq, skv):
         0 if mask.dropout_seed is None else mask.dropout_seed, jnp.int32
     )
     heads = lax.iota(jnp.int32, hkv * g).reshape(hkv, g)
+    if mask.head_offset is not None:
+        heads = heads + mask.head_offset
     batches = lax.iota(jnp.int32, b)
     qseg = None if mask.q_segids is None else jnp.asarray(
         mask.q_segids, jnp.int32

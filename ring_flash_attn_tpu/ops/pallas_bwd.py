@@ -131,7 +131,9 @@ def _dq_kernel(
         return qp, kp
 
     def _keep(qp, kp, qseg):
-        rh = dropout_row_hash(qp, qseg, h_id, b_id, info_ref[2])
+        rh = dropout_row_hash(
+            qp, qseg, h_id + info_ref[3], b_id, info_ref[2]
+        )
         return dropout_keep(rh, kp, dropout_threshold(dropout_p))
 
     def _allowed():
@@ -291,7 +293,9 @@ def _dkv_kernel(
         forward kernel's (pure function of absolute coordinates)."""
         qp, kp = _qp_kp_t()
         qseg = qseg_ref[0, :].reshape(1, blk_q) if use_segments else None
-        rh = dropout_row_hash(qp, qseg, h_id, b_id, info_ref[2])
+        rh = dropout_row_hash(
+            qp, qseg, h_id + info_ref[3], b_id, info_ref[2]
+        )
         return dropout_keep(rh, kp, dropout_threshold(dropout_p))
 
     def _allowed_t():

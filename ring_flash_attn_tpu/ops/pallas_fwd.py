@@ -57,9 +57,10 @@ def _static_int(x):
 
 
 def mask_info(mask):
-    """Scalar-prefetch info for the kernels: (3,) int32
-    [q offset, kv offset, dropout seed], plus whether the RELATIVE offset
-    (what the causal grid logic needs) is static, and its static value."""
+    """Scalar-prefetch info for the kernels: (4,) int32
+    [q offset, kv offset, dropout seed, head offset], plus whether the
+    RELATIVE offset (what the causal grid logic needs) is static, and its
+    static value."""
     def scalar(x):
         return jnp.zeros((), jnp.int32) if x is None else jnp.asarray(
             x, jnp.int32
@@ -71,14 +72,14 @@ def mask_info(mask):
     )
     info = jnp.stack(
         [scalar(mask.offset), scalar(mask.kv_offset),
-         scalar(mask.dropout_seed)]
+         scalar(mask.dropout_seed), scalar(mask.head_offset)]
     )
     return info, rel_static, static_rel
 
 
 def _fwd_kernel(
     # scalar prefetch
-    info_ref,  # (3,) int32: [q offset, kv offset, dropout seed]
+    info_ref,  # (4,) int32: [q offset, kv offset, dropout seed, head off]
     iq_map_ref,  # (P,) int32: pair -> q block (triangular) or None-like
     ikv_map_ref,  # (P,) int32: pair -> kv block
     *refs,  # q, k, v, [qseg, kseg], [qpos, kpos], out, lse, m_s, l_s, acc_s
@@ -168,7 +169,9 @@ def _fwd_kernel(
 
         qp, kp = _qp_kp()
         qseg = qseg_ref[0, :].reshape(blk_q, 1) if use_segments else None
-        rh = dropout_row_hash(qp, qseg, h_id, b_id, info_ref[2])
+        rh = dropout_row_hash(
+            qp, qseg, h_id + info_ref[3], b_id, info_ref[2]
+        )
         return dropout_keep(rh, kp, dropout_threshold(dropout_p))
 
     def _allowed():

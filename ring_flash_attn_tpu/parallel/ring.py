@@ -136,7 +136,8 @@ def _ring_bwd(q, k, v, out, lse, dout, scale, causal, axis_name, backend,
 
 def ring_attention(q, k, v, *, scale, causal, axis_name, backend=None,
                    softcap=None, alibi_slopes=None, dropout_p=None,
-                   dropout_seed=None, window_left=None):
+                   dropout_seed=None, window_left=None,
+                     head_offset=None):
     """Differentiable basic ring attention on per-shard (B,H,S,D) tensors.
 
     Must be called inside shard_map with q/k/v sharded contiguously along S
@@ -145,7 +146,8 @@ def ring_attention(q, k, v, *, scale, causal, axis_name, backend=None,
     if window_left is not None:
         assert causal, "sliding window requires causal=True"
     base = dict(softcap=softcap, alibi_slopes=alibi_slopes,
-                dropout_p=dropout_p, window_left=window_left)
+                dropout_p=dropout_p, window_left=window_left,
+                head_offset=head_offset)
     # the seed may be a tracer (per-step training seeds), which custom_vjp
     # can't close over — it rides as an explicit zero-cotangent argument
     seed = jnp.asarray(

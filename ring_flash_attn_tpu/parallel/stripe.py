@@ -136,7 +136,8 @@ def _stripe_bwd(q, k, v, out, lse, dout, scale, axis_name, backend,
 
 def stripe_attention(q, k, v, *, scale, axis_name, backend=None,
                      softcap=None, alibi_slopes=None, dropout_p=None,
-                     dropout_seed=None, window_left=None):
+                     dropout_seed=None, window_left=None,
+                     head_offset=None):
     """Differentiable stripe attention on per-shard (B,H,S,D) tensors.
 
     Causal-only. q/k/v must be laid out per extract_local_stripe. Returns
@@ -144,7 +145,8 @@ def stripe_attention(q, k, v, *, scale, axis_name, backend=None,
     """
 
     base = dict(softcap=softcap, alibi_slopes=alibi_slopes,
-                dropout_p=dropout_p, window_left=window_left)
+                dropout_p=dropout_p, window_left=window_left,
+                head_offset=head_offset)
     seed = jnp.asarray(
         0 if dropout_seed is None else dropout_seed, jnp.int32
     )

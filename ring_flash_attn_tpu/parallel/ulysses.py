@@ -19,7 +19,7 @@ from jax import lax
 
 from ..ops.flash import flash_attention
 from ..ops.mask import MaskArgs
-from .mesh import ring_size
+from .mesh import ring_rank, ring_size
 
 
 def _a2a_seq_to_heads(x, axis_name):
@@ -34,8 +34,20 @@ def _a2a_heads_to_seq(x, axis_name):
                           tiled=True)
 
 
+def _shard_slopes(alibi_slopes, axis_name, hq, w):
+    """Slice the global per-head slopes to this shard's A2A head range."""
+    if alibi_slopes is None:
+        return None
+    rank = ring_rank(axis_name)
+    return lax.dynamic_slice(
+        jnp.asarray(alibi_slopes, jnp.float32), (rank * (hq // w),),
+        (hq // w,),
+    )
+
+
 def ulysses_attention(q, k, v, *, scale, causal, axis_name, backend=None,
-                      softcap=None):
+                      softcap=None, alibi_slopes=None, dropout_p=None,
+                      dropout_seed=None):
     """Differentiable Ulysses attention on per-shard (B, H, S_local, D)
     tensors (sequence-sharded, contiguous layout). Returns
     (out in q.dtype, lse fp32 (B, H, S_local))."""
@@ -54,8 +66,19 @@ def ulysses_attention(q, k, v, *, scale, causal, axis_name, backend=None,
     qh = _a2a_seq_to_heads(q, axis_name)
     kh = _a2a_seq_to_heads(k, axis_name)
     vh = _a2a_seq_to_heads(v, axis_name)
+    rank = ring_rank(axis_name)
     out, lse = flash_attention(
-        qh, kh, vh, scale, MaskArgs(causal=causal, softcap=softcap), backend
+        qh, kh, vh, scale,
+        MaskArgs(
+            causal=causal, softcap=softcap,
+            alibi_slopes=_shard_slopes(alibi_slopes, axis_name, hq, w),
+            dropout_p=dropout_p, dropout_seed=dropout_seed,
+            # after the A2A this shard owns q heads [rank*Hq/W, ...): give
+            # the dropout hash global head ids so the pattern matches the
+            # unsharded computation exactly
+            head_offset=rank * (hq // w),
+        ),
+        backend,
     )
     out = _a2a_heads_to_seq(out, axis_name)
     # lse (B, H/W, S_global) -> (B, H, S_local): same a2a with a dummy dim
@@ -64,7 +87,8 @@ def ulysses_attention(q, k, v, *, scale, causal, axis_name, backend=None,
 
 
 def usp_attention(q, k, v, *, scale, causal, ulysses_axis, ring_axis,
-                  variant="ring", backend=None, softcap=None):
+                  variant="ring", backend=None, softcap=None,
+                  alibi_slopes=None, dropout_p=None, dropout_seed=None):
     """2D sequence parallelism (USP, arXiv:2405.07719): Ulysses A2A over one
     mesh axis composed with a KV ring over another — EXTENSION beyond the
     reference. Scales context parallelism past the head count.
@@ -89,22 +113,29 @@ def usp_attention(q, k, v, *, scale, causal, ulysses_axis, ring_axis,
     qh = _a2a_seq_to_heads(q, ulysses_axis)
     kh = _a2a_seq_to_heads(k, ulysses_axis)
     vh = _a2a_seq_to_heads(v, ulysses_axis)
+    rank = ring_rank(ulysses_axis)
+    extras = dict(
+        softcap=softcap,
+        alibi_slopes=_shard_slopes(alibi_slopes, ulysses_axis, hq, w),
+        dropout_p=dropout_p, dropout_seed=dropout_seed,
+        head_offset=rank * (hq // w),
+    )
     if variant == "ring":
         out, lse = ring_attention(
             qh, kh, vh, scale=scale, causal=causal, axis_name=ring_axis,
-            backend=backend, softcap=softcap,
+            backend=backend, **extras,
         )
     elif variant == "zigzag":
         assert causal
         out, lse = zigzag_ring_attention(
             qh, kh, vh, scale=scale, axis_name=ring_axis, backend=backend,
-            softcap=softcap,
+            **extras,
         )
     elif variant == "stripe":
         assert causal
         out, lse = stripe_attention(
             qh, kh, vh, scale=scale, axis_name=ring_axis, backend=backend,
-            softcap=softcap,
+            **extras,
         )
     else:
         raise ValueError(variant)

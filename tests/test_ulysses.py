@@ -50,3 +50,32 @@ def test_ulysses_matches_oracle(devices8, causal):
     g2 = jax.grad(oracle_loss, (0, 1, 2))(q, k, v)
     for a, b in zip(g1, g2):
         assert jnp.max(jnp.abs(a - b)) < 1e-4
+
+
+def test_ulysses_dropout_and_alibi_equal_single_device(devices8):
+    """Head-sharded dropout uses global head ids (head_offset), so the
+    pattern is bit-identical to the unsharded computation; ALiBi slopes are
+    sliced per shard."""
+    mesh = Mesh(np.array(devices8), ("sp",))
+    q = jax.random.normal(jax.random.PRNGKey(0), (B, HQ, S, D), jnp.float32)
+    k = jax.random.normal(jax.random.PRNGKey(1), (B, HKV, S, D), jnp.float32)
+    v = jax.random.normal(jax.random.PRNGKey(2), (B, HKV, S, D), jnp.float32)
+    slopes = jnp.asarray([2.0 ** (-(i + 1)) for i in range(HQ)], jnp.float32)
+
+    from ring_flash_attn_tpu.ops.flash import flash_attention
+
+    mask = MaskArgs(causal=True, dropout_p=0.25, dropout_seed=7,
+                    alibi_slopes=slopes)
+    ref, _ = flash_attention(q, k, v, SCALE, mask, backend="xla")
+
+    @partial(shard_map, mesh=mesh, in_specs=(P(None, None, "sp", None),) * 3,
+             out_specs=(P(None, None, "sp", None), P(None, None, "sp")),
+             check_vma=False)
+    def f(q, k, v):
+        return ulysses_attention(
+            q, k, v, scale=SCALE, causal=True, axis_name="sp",
+            dropout_p=0.25, dropout_seed=7, alibi_slopes=slopes,
+        )
+
+    out, _ = jax.jit(f)(q, k, v)
+    assert jnp.max(jnp.abs(out - ref)) < 2e-6

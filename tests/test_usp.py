@@ -72,3 +72,40 @@ def test_usp_matches_oracle(devices8, variant, causal):
     g2 = jax.grad(oracle_loss, (0, 1, 2))(q, k, v)
     for a, b in zip(g1, g2):
         assert jnp.max(jnp.abs(rs(a) - b)) < 1e-4
+
+
+def test_usp_dropout_equal_single_device(devices8):
+    """2-D USP dropout: the ulysses head_offset + the inner ring's absolute
+    sequence offsets keep the keep-mask globally consistent."""
+    import numpy as np
+    from ring_flash_attn_tpu.ops.flash import flash_attention
+    from ring_flash_attn_tpu.ops.mask import MaskArgs
+
+    mesh = Mesh(np.array(devices8).reshape(2, 4), ("hp", "sp"))
+    B2, HQ2, HKV2, S2, D2 = 1, 4, 2, 256, 32
+    scale = D2**-0.5
+    q = jax.random.normal(jax.random.PRNGKey(0), (B2, HQ2, S2, D2),
+                          jnp.float32)
+    k = jax.random.normal(jax.random.PRNGKey(1), (B2, HKV2, S2, D2),
+                          jnp.float32)
+    v = jax.random.normal(jax.random.PRNGKey(2), (B2, HKV2, S2, D2),
+                          jnp.float32)
+
+    mask = MaskArgs(causal=True, dropout_p=0.25, dropout_seed=11)
+    ref, _ = flash_attention(q, k, v, scale, mask, backend="xla")
+
+    @partial(
+        shard_map, mesh=mesh,
+        in_specs=(P(None, None, ("sp", "hp"), None),) * 3,
+        out_specs=(P(None, None, ("sp", "hp"), None),
+                   P(None, None, ("sp", "hp"))),
+        check_vma=False,
+    )
+    def f(q, k, v):
+        return usp_attention(
+            q, k, v, scale=scale, causal=True, ulysses_axis="hp",
+            ring_axis="sp", variant="ring", dropout_p=0.25, dropout_seed=11,
+        )
+
+    out, _ = jax.jit(f)(q, k, v)
+    assert jnp.max(jnp.abs(out - ref)) < 2e-6
