@@ -58,9 +58,8 @@ def _check_unsupported(dropout_p, window_size, alibi_slopes,
                        allow_dropout=False):
     if dropout_p != 0.0 and not allow_dropout:
         raise NotImplementedError(
-            "dropout: supported everywhere except the llama3 path, via the "
-            "dropout_seed kwarg (an EXTENSION — the reference documents "
-            "dropout as unsupported, README.md:158)"
+            "dropout requires the dropout_seed kwarg path (an EXTENSION — "
+            "the reference documents dropout as unsupported, README.md:158)"
         )
     window_left = None
     if tuple(window_size) != (-1, -1):
@@ -431,7 +430,7 @@ def llama3_flash_attn_varlen_func(
     dropout_p=0.0, softmax_scale=None, causal=True,
     window_size=(-1, -1), softcap=0.0, alibi_slopes=None,
     deterministic=False,
-    return_attn_probs=False, group=None,
+    return_attn_probs=False, group=None, dropout_seed=None,
 ):
     """Llama-3 all-gather context parallelism over packed sequences.
 
@@ -442,7 +441,7 @@ def llama3_flash_attn_varlen_func(
     sequence's global start position) + a rank*L causal offset — see
     parallel/llama3.py."""
     _check_unsupported(dropout_p, window_size, alibi_slopes,
-                       allow_alibi=True)
+                       allow_alibi=True, allow_dropout=True)
     axis = _axis(group)
     t = q.shape[0]
     if local_k_slice is None:
@@ -462,6 +461,7 @@ def llama3_flash_attn_varlen_func(
         scale=_scale(softmax_scale, q.shape[-1]), causal=causal,
         heads_k_stride=heads_k_stride, axis_name=axis,
         softcap=_cap(softcap), alibi_slopes=alibi_slopes,
+        dropout_p=dropout_p or None, dropout_seed=dropout_seed,
     )
     out = out[0].transpose(1, 0, 2)
     if return_attn_probs:

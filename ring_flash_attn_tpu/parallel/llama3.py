@@ -35,7 +35,8 @@ def _gather_chunk(kv, i, stride, axis_name):
 
 
 def _llama3_fwd(q, k, v, q_segids, scale, causal, heads_k_stride,
-                axis_name, backend, softcap=None, alibi_slopes=None):
+                axis_name, backend, softcap=None, alibi_slopes=None,
+                dropout_p=None, dropout_seed=None):
     w = ring_size(axis_name)
     rank = ring_rank(axis_name)
     b, hq, l, d = q.shape
@@ -63,8 +64,11 @@ def _llama3_fwd(q, k, v, q_segids, scale, causal, heads_k_stride,
         q_i = q[:, i * group : (i + heads_k_stride) * group]
         mask = MaskArgs(
             causal=causal,
-            # ALiBi needs the global q offset even when not causal
-            offset=offset if (causal or alibi_slopes is not None) else None,
+            # ALiBi/dropout need the global q offset even when not causal
+            # (kv is gathered from global position 0, so kv_offset stays 0)
+            offset=offset if (
+                causal or alibi_slopes is not None or dropout_p
+            ) else None,
             q_segids=q_segids,
             kv_segids=kv_segids,
             softcap=softcap,
@@ -72,6 +76,11 @@ def _llama3_fwd(q, k, v, q_segids, scale, causal, heads_k_stride,
                 alibi_slopes[i * group:(i + heads_k_stride) * group]
                 if alibi_slopes is not None else None
             ),
+            dropout_p=dropout_p,
+            dropout_seed=dropout_seed,
+            # this chunk computes global q heads [i*group, ...): give the
+            # dropout hash their global ids
+            head_offset=i * group if dropout_p else None,
         )
         o_i, lse_i = block_fwd(
             q_i, gathered[0], gathered[1], scale, mask, backend
@@ -83,7 +92,8 @@ def _llama3_fwd(q, k, v, q_segids, scale, causal, heads_k_stride,
 
 
 def _llama3_bwd(q, k, v, q_segids, out, lse, dout, scale, causal,
-                heads_k_stride, axis_name, backend, softcap=None, alibi_slopes=None):
+                heads_k_stride, axis_name, backend, softcap=None,
+                alibi_slopes=None, dropout_p=None, dropout_seed=None):
     w = ring_size(axis_name)
     rank = ring_rank(axis_name)
     b, hq, l, d = q.shape
@@ -109,8 +119,11 @@ def _llama3_bwd(q, k, v, q_segids, out, lse, dout, scale, causal,
         hs = slice(i * group, (i + heads_k_stride) * group)
         mask = MaskArgs(
             causal=causal,
-            # ALiBi needs the global q offset even when not causal
-            offset=offset if (causal or alibi_slopes is not None) else None,
+            # ALiBi/dropout need the global q offset even when not causal
+            # (kv is gathered from global position 0, so kv_offset stays 0)
+            offset=offset if (
+                causal or alibi_slopes is not None or dropout_p
+            ) else None,
             q_segids=q_segids,
             kv_segids=kv_segids,
             softcap=softcap,
@@ -118,6 +131,11 @@ def _llama3_bwd(q, k, v, q_segids, out, lse, dout, scale, causal,
                 alibi_slopes[i * group:(i + heads_k_stride) * group]
                 if alibi_slopes is not None else None
             ),
+            dropout_p=dropout_p,
+            dropout_seed=dropout_seed,
+            # this chunk computes global q heads [i*group, ...): give the
+            # dropout hash their global ids
+            head_offset=i * group if dropout_p else None,
         )
         dq_i, dk_g, dv_g = block_bwd(
             dout[:, hs], q[:, hs], gathered[0], gathered[1],
@@ -139,7 +157,8 @@ def _llama3_bwd(q, k, v, q_segids, out, lse, dout, scale, causal,
 
 def llama3_attention(q, k, v, q_segids=None, *, scale, causal=True,
                      heads_k_stride=None, axis_name, backend=None,
-                     softcap=None, alibi_slopes=None):
+                     softcap=None, alibi_slopes=None, dropout_p=None,
+                     dropout_seed=None):
     """Differentiable llama3 all-gather attention on per-shard (B,H,S,D).
 
     q/k/v sharded contiguously along S (packed tokens when varlen;
@@ -151,37 +170,43 @@ def llama3_attention(q, k, v, q_segids=None, *, scale, causal=True,
         heads_k_stride = hkv
     assert hkv % heads_k_stride == 0, (hkv, heads_k_stride)
 
-    # q_segids may be a traced array: custom_vjp can't close over tracers,
-    # so it rides as an explicit (zero-cotangent) argument.
+    # q_segids / the dropout seed may be traced arrays: custom_vjp can't
+    # close over tracers, so they ride as explicit zero-cotangent arguments.
+    seed = jnp.asarray(
+        0 if dropout_seed is None else dropout_seed, jnp.int32
+    )
+
     @jax.custom_vjp
-    def f(q, k, v, q_segids):
+    def f(q, k, v, q_segids, seed):
         out, lse = _llama3_fwd(
             q, k, v, q_segids, scale, causal, heads_k_stride, axis_name,
-            backend, softcap, alibi_slopes,
+            backend, softcap, alibi_slopes, dropout_p, seed,
         )
         return out.astype(q.dtype), lse
 
-    def f_fwd(q, k, v, q_segids):
+    def f_fwd(q, k, v, q_segids, seed):
         out, lse = _llama3_fwd(
             q, k, v, q_segids, scale, causal, heads_k_stride, axis_name,
-            backend, softcap, alibi_slopes,
+            backend, softcap, alibi_slopes, dropout_p, seed,
         )
         out = out.astype(q.dtype)
-        return (out, lse), (q, k, v, q_segids, out, lse)
+        return (out, lse), (q, k, v, q_segids, seed, out, lse)
 
     def f_bwd(res, grads):
-        q, k, v, q_segids, out, lse = res
+        q, k, v, q_segids, seed, out, lse = res
         dout, _ = grads
         dq, dk, dv = _llama3_bwd(
             q, k, v, q_segids, out, lse, dout, scale, causal,
             heads_k_stride, axis_name, backend, softcap, alibi_slopes,
+            dropout_p, seed,
         )
         return (
             dq.astype(q.dtype),
             dk.astype(k.dtype),
             dv.astype(v.dtype),
             None,
+            None,
         )
 
     f.defvjp(f_fwd, f_bwd)
-    return f(q, k, v, q_segids)
+    return f(q, k, v, q_segids, seed)

@@ -304,3 +304,44 @@ def test_ring_varlen_dropout_equals_single_device(devices8, data):
             out_g[CU[i] + r * li: CU[i] + (r + 1) * li] = shard[off:off + li]
             off += li
     assert np.max(np.abs(out_g - np.asarray(ref))) < 2e-6
+
+
+def test_llama3_dropout_world_invariant_and_vs_oracle(devices8, data):
+    """llama3 dropout keys off (absolute token index, segment label, global
+    head id, seed) — world-size invariant, and equal to a single-device
+    oracle fed the same coordinates."""
+    from ring_flash_attn_tpu.parallel.llama3 import llama3_attention
+
+    q, k, v, dout = data
+    labels = jnp.zeros((S,), jnp.int32)  # one sequence: one label
+
+    # oracle: single-device flash with explicit absolute positions + labels
+    mask = MaskArgs(
+        causal=True, q_pos=jnp.arange(S, dtype=jnp.int32),
+        kv_pos=jnp.arange(S, dtype=jnp.int32),
+        q_segids=labels, kv_segids=labels,
+        dropout_p=P_DROP, dropout_seed=SEED,
+    )
+    ref, _ = flash_attention(q, k, v, SCALE, mask, backend="xla")
+
+    def run(n):
+        mesh = Mesh(devices8[:n], ("sp",))
+
+        @partial(shard_map, mesh=mesh,
+                 in_specs=(SPEC4,) * 3 + (P("sp"),),
+                 out_specs=(SPEC4, SPEC3), check_vma=False)
+        def f(q, k, v, seg):
+            return llama3_attention(
+                q, k, v, seg, scale=SCALE, causal=True, heads_k_stride=1,
+                axis_name="sp", dropout_p=P_DROP, dropout_seed=SEED,
+            )
+
+        out, _ = jax.jit(f)(q, k, v, labels)
+        return out
+
+    import numpy as np
+
+    out8 = np.asarray(run(8))
+    out4 = np.asarray(run(4))
+    assert np.max(np.abs(out8 - out4)) < 2e-6  # world-size invariant
+    assert np.max(np.abs(out8 - np.asarray(ref))) < 2e-6  # equals the oracle
