@@ -142,8 +142,9 @@ def _fwd_kernel(
 
     @pl.when(ikv == 0)
     def _init():
-        m_s[...] = jnp.full_like(m_s, NEG_INF)
-        l_s[...] = jnp.zeros_like(l_s)
+        # only lane 0 of m/l is ever read; narrow stores save VPU cycles
+        m_s[:, :1] = jnp.full((blk_q, 1), NEG_INF, jnp.float32)
+        l_s[:, :1] = jnp.zeros((blk_q, 1), jnp.float32)
         acc_s[...] = jnp.zeros_like(acc_s)
 
     def _qp_kp():
@@ -241,8 +242,8 @@ def _fwd_kernel(
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        m_s[...] = jnp.broadcast_to(m_new, m_s.shape)
-        l_s[...] = jnp.broadcast_to(l_new, l_s.shape)
+        m_s[:, :1] = m_new
+        l_s[:, :1] = l_new
 
     if (causal and not use_positions and not use_segments
             and window_left is None):
