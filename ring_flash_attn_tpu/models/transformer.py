@@ -24,6 +24,7 @@ from ..parallel.ring import ring_attention
 from ..parallel.stripe import stripe_attention
 from ..parallel.zigzag import zigzag_ring_attention
 from ..parallel.llama3 import llama3_attention
+from ..parallel.ulysses import usp_attention
 from ..parallel import layouts
 
 
@@ -38,7 +39,7 @@ class ModelConfig:
     mlp_dim: int = 2816
     rope_theta: float = 10000.0
     dtype: str = "bfloat16"
-    attention: str = "zigzag"  # ring | zigzag | stripe | llama3
+    attention: str = "zigzag"  # ring | zigzag | stripe | llama3 | usp
 
     @property
     def jdtype(self):
@@ -102,7 +103,7 @@ def _rope(x, positions, theta):
     ).astype(x.dtype)
 
 
-def _attention(cfg, x, layer, positions, axis_name):
+def _attention(cfg, x, layer, positions, axis_name, ulysses_axis=None):
     b, s, d = x.shape
     h, hkv, hd = cfg.heads, cfg.kv_heads, cfg.head_dim
     xn = _rmsnorm(x, layer["attn_norm"])
@@ -129,6 +130,15 @@ def _attention(cfg, x, layer, positions, axis_name):
         out, _ = llama3_attention(
             q, k, v, None, scale=scale, causal=True, axis_name=axis_name
         )
+    elif cfg.attention == "usp":
+        # 2-D context parallelism: Ulysses A2A over ulysses_axis composed
+        # with a causal KV ring over axis_name; layout = contiguous over
+        # (axis_name major, ulysses_axis minor)
+        assert ulysses_axis is not None, "usp attention needs ulysses_axis"
+        out, _ = usp_attention(
+            q, k, v, scale=scale, causal=True, ulysses_axis=ulysses_axis,
+            ring_axis=axis_name, variant="ring",
+        )
     else:
         raise ValueError(cfg.attention)
     out = out.transpose(0, 2, 1, 3).reshape(b, s, h * hd)
@@ -142,43 +152,48 @@ def _mlp(x, layer):
     ) @ layer["w_down"]
 
 
-def forward(params, cfg: ModelConfig, tokens, positions, axis_name=None):
+def forward(params, cfg: ModelConfig, tokens, positions, axis_name=None,
+            ulysses_axis=None):
     """Per-shard forward. tokens (B, S_local) int32, positions (S_local,)
     giving each local token's global position (layout-dependent). Returns
     logits (B, S_local, vocab)."""
     x = params["embed"][tokens]
     for layer in params["layers"]:
-        x = _attention(cfg, x, layer, positions, axis_name)
+        x = _attention(cfg, x, layer, positions, axis_name, ulysses_axis)
         x = _mlp(x, layer)
     x = _rmsnorm(x, params["final_norm"])
     return (x @ params["lm_head"]).astype(jnp.float32)
 
 
-def loss_fn(params, cfg, tokens, labels, positions, axis_name=None):
+def loss_fn(params, cfg, tokens, labels, positions, axis_name=None,
+            ulysses_axis=None):
     """Mean next-token CE. labels already shifted + laid out like tokens;
     label -100 = ignore (padding)."""
-    logits = forward(params, cfg, tokens, positions, axis_name)
+    logits = forward(params, cfg, tokens, positions, axis_name, ulysses_axis)
     valid = labels >= 0
     labels_safe = jnp.where(valid, labels, 0)
     logp = jax.nn.log_softmax(logits, axis=-1)
     tok_lp = jnp.take_along_axis(logp, labels_safe[..., None], axis=-1)[..., 0]
     loss_sum = jnp.sum(jnp.where(valid, -tok_lp, 0.0))
     count = jnp.sum(valid)
-    if axis_name is not None:
-        loss_sum = lax.psum(loss_sum, axis_name)
-        count = lax.psum(count, axis_name)
+    seq_axes = tuple(a for a in (axis_name, ulysses_axis) if a is not None)
+    if seq_axes:
+        loss_sum = lax.psum(loss_sum, seq_axes)
+        count = lax.psum(count, seq_axes)
     return loss_sum / jnp.maximum(count, 1)
 
 
 def train_step(params, cfg, tokens, labels, positions, lr=1e-3,
-               axis_name=None, data_axis=None):
+               axis_name=None, data_axis=None, ulysses_axis=None):
     """One SGD step, per-shard (call inside shard_map). Gradients are
-    psum'd over the sequence axis (weights replicated) and, when given,
+    psum'd over the sequence axes (weights replicated) and, when given,
     the data axis."""
     loss, grads = jax.value_and_grad(loss_fn)(
-        params, cfg, tokens, labels, positions, axis_name
+        params, cfg, tokens, labels, positions, axis_name, ulysses_axis
     )
-    axes = tuple(a for a in (axis_name, data_axis) if a is not None)
+    axes = tuple(
+        a for a in (axis_name, ulysses_axis, data_axis) if a is not None
+    )
     if axes:
         grads = jax.tree.map(lambda g: lax.psum(g, axes), grads)
         loss = lax.pmean(loss, data_axis) if data_axis else loss

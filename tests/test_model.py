@@ -81,3 +81,31 @@ def test_train_step_reduces_loss(mesh):
         losses.append(float(loss))
     assert np.isfinite(losses).all()
     assert losses[-1] < losses[0] - 0.3, losses
+
+
+def test_usp_forward_matches_single_device(devices8):
+    """USP (dp-free 2-D: hp x sp) sharded forward == single-device forward
+    on the contiguous layout."""
+    mesh3 = Mesh(np.array(devices8).reshape(2, 4), ("hp", "sp"))
+    cfg = ModelConfig(
+        vocab=128, dim=64, layers=2, heads=4, kv_heads=2, head_dim=16,
+        mlp_dim=128, attention="usp", dtype="float32",
+    )
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    tokens = jax.random.randint(
+        jax.random.PRNGKey(1), (1, S), 0, cfg.vocab, jnp.int32
+    )
+    pos = jnp.arange(S, dtype=jnp.int32)
+    logits_ref = forward(params, cfg, tokens, pos, axis_name=None)
+
+    @partial(
+        shard_map, mesh=mesh3,
+        in_specs=(P(), P(None, ("sp", "hp")), P(("sp", "hp"))),
+        out_specs=P(None, ("sp", "hp")), check_vma=False,
+    )
+    def f(params, tokens, pos):
+        return forward(params, cfg, tokens, pos, axis_name="sp",
+                       ulysses_axis="hp")
+
+    logits = jax.jit(f)(params, tokens, pos)
+    assert jnp.max(jnp.abs(logits - logits_ref)) < 2e-4
