@@ -4,6 +4,7 @@ from .transformer import (
     forward,
     loss_fn,
     train_step,
+    param_specs,
     prepare_zigzag_batch,
 )
 
@@ -13,5 +14,6 @@ __all__ = [
     "forward",
     "loss_fn",
     "train_step",
+    "param_specs",
     "prepare_zigzag_batch",
 ]

@@ -11,6 +11,13 @@ batch over dp, sequence over sp, weights replicated (psum'd grads).
 The per-shard forward runs INSIDE shard_map: attention calls the per-shard
 schedule directly, everything else is local math, so the only collectives
 are the schedule's ppermute/all-gather plus the gradient psum.
+
+Tensor parallelism (megatron-style, an extension beyond the reference's
+scope): pass tp_axis and shard the weights with `param_specs` — wq/wk/wv
+and w_gate/w_up column-sharded over tp, wo/w_down row-sharded with one
+psum each; norms/embeddings replicated. Composes with the sequence axes
+(dp x tp x sp meshes): attention runs the ring over the tp shard's local
+heads (kv_heads must divide tp).
 """
 
 import dataclasses
@@ -25,6 +32,7 @@ from ..parallel.stripe import stripe_attention
 from ..parallel.zigzag import zigzag_ring_attention
 from ..parallel.llama3 import llama3_attention
 from ..parallel.ulysses import usp_attention
+from ..parallel.mesh import psum_exact
 from ..parallel import layouts
 
 
@@ -81,6 +89,25 @@ def init_params(key, cfg: ModelConfig):
     }
 
 
+def _tp_copy(x, tp_axis):
+    """Megatron's "f" operator: identity forward, tp-psum backward.
+
+    Placed at each block branch's input so the branch's (per-tp-shard
+    partial) cotangents are summed exactly once on the way back — after
+    which every activation and replicated-weight gradient is the true
+    total on every shard, with no end-of-step fixups."""
+    if tp_axis is None:
+        return x
+
+    @jax.custom_vjp
+    def f(x):
+        return x
+
+    f.defvjp(lambda x: (x, None),
+             lambda _, ct: (lax.psum(ct, tp_axis),))
+    return f(x)
+
+
 def _rmsnorm(x, w, eps=1e-6):
     xf = x.astype(jnp.float32)
     n = xf * lax.rsqrt(jnp.mean(xf * xf, axis=-1, keepdims=True) + eps)
@@ -103,10 +130,16 @@ def _rope(x, positions, theta):
     ).astype(x.dtype)
 
 
-def _attention(cfg, x, layer, positions, axis_name, ulysses_axis=None):
+def _attention(cfg, x, layer, positions, axis_name, ulysses_axis=None,
+               tp_axis=None):
     b, s, d = x.shape
     h, hkv, hd = cfg.heads, cfg.kv_heads, cfg.head_dim
-    xn = _rmsnorm(x, layer["attn_norm"])
+    if tp_axis is not None:
+        # column-sharded projections: this shard computes h/tp local heads
+        tp = lax.psum(1, tp_axis)
+        assert h % tp == 0 and hkv % tp == 0, (h, hkv, tp)
+        h, hkv = h // tp, hkv // tp
+    xn = _tp_copy(_rmsnorm(x, layer["attn_norm"]), tp_axis)
     q = (xn @ layer["wq"]).reshape(b, s, h, hd).transpose(0, 2, 1, 3)
     k = (xn @ layer["wk"]).reshape(b, s, hkv, hd).transpose(0, 2, 1, 3)
     v = (xn @ layer["wv"]).reshape(b, s, hkv, hd).transpose(0, 2, 1, 3)
@@ -142,34 +175,46 @@ def _attention(cfg, x, layer, positions, axis_name, ulysses_axis=None):
     else:
         raise ValueError(cfg.attention)
     out = out.transpose(0, 2, 1, 3).reshape(b, s, h * hd)
-    return x + out @ layer["wo"]
+    proj = out @ layer["wo"]
+    if tp_axis is not None:
+        # row-sharded wo: partial products sum across the tp axis (exact
+        # transpose: the branch cotangent must NOT be rescaled — the
+        # matching f operator at the branch entry does the reduction)
+        proj = psum_exact(proj, tp_axis)
+    return x + proj
 
 
-def _mlp(x, layer):
-    xn = _rmsnorm(x, layer["mlp_norm"])
-    return x + (
-        jax.nn.silu(xn @ layer["w_gate"]) * (xn @ layer["w_up"])
-    ) @ layer["w_down"]
+def _mlp(x, layer, tp_axis=None):
+    xn = _tp_copy(_rmsnorm(x, layer["mlp_norm"]), tp_axis)
+    y = (jax.nn.silu(xn @ layer["w_gate"]) * (xn @ layer["w_up"])
+         ) @ layer["w_down"]
+    if tp_axis is not None:
+        # column-sharded gate/up, row-sharded down: one exact-transpose
+        # psum per block
+        y = psum_exact(y, tp_axis)
+    return x + y
 
 
 def forward(params, cfg: ModelConfig, tokens, positions, axis_name=None,
-            ulysses_axis=None):
+            ulysses_axis=None, tp_axis=None):
     """Per-shard forward. tokens (B, S_local) int32, positions (S_local,)
     giving each local token's global position (layout-dependent). Returns
     logits (B, S_local, vocab)."""
     x = params["embed"][tokens]
     for layer in params["layers"]:
-        x = _attention(cfg, x, layer, positions, axis_name, ulysses_axis)
-        x = _mlp(x, layer)
+        x = _attention(cfg, x, layer, positions, axis_name, ulysses_axis,
+                       tp_axis)
+        x = _mlp(x, layer, tp_axis)
     x = _rmsnorm(x, params["final_norm"])
     return (x @ params["lm_head"]).astype(jnp.float32)
 
 
 def loss_fn(params, cfg, tokens, labels, positions, axis_name=None,
-            ulysses_axis=None):
+            ulysses_axis=None, tp_axis=None):
     """Mean next-token CE. labels already shifted + laid out like tokens;
     label -100 = ignore (padding)."""
-    logits = forward(params, cfg, tokens, positions, axis_name, ulysses_axis)
+    logits = forward(params, cfg, tokens, positions, axis_name, ulysses_axis,
+                     tp_axis)
     valid = labels >= 0
     labels_safe = jnp.where(valid, labels, 0)
     logp = jax.nn.log_softmax(logits, axis=-1)
@@ -178,25 +223,51 @@ def loss_fn(params, cfg, tokens, labels, positions, axis_name=None,
     count = jnp.sum(valid)
     seq_axes = tuple(a for a in (axis_name, ulysses_axis) if a is not None)
     if seq_axes:
-        loss_sum = lax.psum(loss_sum, seq_axes)
-        count = lax.psum(count, seq_axes)
+        # exact-transpose psum: a raw psum here would scale every weight
+        # gradient by the axis size (its shard_map transpose is psum)
+        loss_sum = psum_exact(loss_sum, seq_axes)
+        count = lax.psum(count, seq_axes)  # count carries no gradient
     return loss_sum / jnp.maximum(count, 1)
 
 
+def param_specs(cfg, tp_axis):
+    """PartitionSpec pytree for megatron-TP weight sharding (shard_map
+    in_specs/out_specs for the params argument)."""
+    from jax.sharding import PartitionSpec as P
+
+    col, row, rep = P(None, tp_axis), P(tp_axis, None), P()
+    layer = {
+        "attn_norm": rep, "wq": col, "wk": col, "wv": col, "wo": row,
+        "mlp_norm": rep, "w_gate": col, "w_up": col, "w_down": row,
+    }
+    return {
+        "embed": rep,
+        "layers": [dict(layer) for _ in range(cfg.layers)],
+        "final_norm": rep,
+        "lm_head": rep,
+    }
+
+
 def train_step(params, cfg, tokens, labels, positions, lr=1e-3,
-               axis_name=None, data_axis=None, ulysses_axis=None):
+               axis_name=None, data_axis=None, ulysses_axis=None,
+               tp_axis=None):
     """One SGD step, per-shard (call inside shard_map). Gradients are
-    psum'd over the sequence axes (weights replicated) and, when given,
-    the data axis."""
+    psum'd over the sequence axes (weights replicated there) and, when
+    given, the data axis. Under tp, the _tp_copy operator inside each
+    block already all-reduces branch cotangents, so every grad leaf —
+    tp-sharded or replicated — is correct with the same uniform
+    reduction (no per-leaf tp fixups)."""
     loss, grads = jax.value_and_grad(loss_fn)(
-        params, cfg, tokens, labels, positions, axis_name, ulysses_axis
+        params, cfg, tokens, labels, positions, axis_name, ulysses_axis,
+        tp_axis,
     )
-    axes = tuple(
+    base_axes = tuple(
         a for a in (axis_name, ulysses_axis, data_axis) if a is not None
     )
-    if axes:
-        grads = jax.tree.map(lambda g: lax.psum(g, axes), grads)
-        loss = lax.pmean(loss, data_axis) if data_axis else loss
+    if base_axes:
+        grads = jax.tree.map(lambda g: lax.psum(g, base_axes), grads)
+    if data_axis:
+        loss = lax.pmean(loss, data_axis)
     new_params = jax.tree.map(
         lambda p, g: (p.astype(jnp.float32) - lr * g.astype(jnp.float32)).astype(
             p.dtype

@@ -1,4 +1,4 @@
-from .mesh import ring_rotate, ring_size, ring_rank
+from .mesh import psum_exact, ring_rotate, ring_size, ring_rank
 from .ring import ring_attention
 from .fused_ring import fused_ring_attention
 from .zigzag import zigzag_ring_attention
@@ -17,6 +17,7 @@ __all__ = [
     "ring_rotate",
     "ring_size",
     "ring_rank",
+    "psum_exact",
     "ring_attention",
     "fused_ring_attention",
     "zigzag_ring_attention",

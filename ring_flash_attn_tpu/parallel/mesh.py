@@ -33,3 +33,27 @@ def ring_rotate(x, axis_name, reverse=False):
     else:
         perm = [(i, (i + 1) % n) for i in range(n)]
     return lax.ppermute(x, axis_name, perm)
+
+
+def psum_exact(x, axis_names):
+    """psum whose backward is the identity.
+
+    Under shard_map (unchecked/vma-off mode) a raw `lax.psum` transposes to
+    another psum, scaling cotangents by the axis size — wrong whenever the
+    summed value is consumed as a replicated quantity (its true per-shard
+    cotangent is just the replicated output cotangent). This is megatron's
+    "g" operator; pair with an identity-forward / psum-backward "f" at
+    branch entries for tensor-parallel blocks."""
+
+    @jax.custom_vjp
+    def f(x):
+        return lax.psum(x, axis_names)
+
+    def fwd(x):
+        return lax.psum(x, axis_names), None
+
+    def bwd(_, ct):
+        return (ct,)
+
+    f.defvjp(fwd, bwd)
+    return f(x)

@@ -109,3 +109,93 @@ def test_usp_forward_matches_single_device(devices8):
 
     logits = jax.jit(f)(params, tokens, pos)
     assert jnp.max(jnp.abs(logits - logits_ref)) < 2e-4
+
+
+def test_tp_forward_matches_single_device(devices8):
+    """Megatron TP (tp x sp) sharded-weight forward == single-device."""
+    from ring_flash_attn_tpu.models import param_specs
+
+    mesh = Mesh(np.array(devices8).reshape(2, 4), ("tp", "sp"))
+    cfg = ModelConfig(
+        vocab=128, dim=64, layers=2, heads=4, kv_heads=2, head_dim=16,
+        mlp_dim=128, attention="zigzag", dtype="float32",
+    )
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    tokens = jax.random.randint(
+        jax.random.PRNGKey(1), (1, S), 0, cfg.vocab, jnp.int32
+    )
+    t_l, l_l, pos = prepare_zigzag_batch(tokens, 4)
+    logits_ref = forward(
+        params, cfg, t_l, pos, axis_name=None
+    ) if False else None
+
+    # single-device oracle on the zigzag layout == restore-compare instead
+    pos_full = jnp.arange(S, dtype=jnp.int32)
+    ref_full = forward(params, cfg, tokens, pos_full, axis_name=None)
+
+    specs = param_specs(cfg, "tp")
+
+    @partial(
+        shard_map, mesh=mesh,
+        in_specs=(specs, P(None, "sp"), P("sp")),
+        out_specs=P(None, "sp"), check_vma=False,
+    )
+    def f(params, tokens, pos):
+        return forward(params, cfg, tokens, pos, axis_name="sp",
+                       tp_axis="tp")
+
+    logits = jax.jit(f)(params, t_l, pos)
+    restored = layouts.restore_zigzag(logits, 4, axis=1)
+    assert jnp.max(jnp.abs(restored - ref_full)) < 2e-4
+
+
+def test_tp_train_step_matches_replicated(devices8):
+    """One TP train step produces the same updated weights as the
+    non-TP (replicated) train step — grads of sharded weights stay local,
+    grads of replicated weights get the tp psum."""
+    from ring_flash_attn_tpu.models import param_specs
+
+    mesh = Mesh(np.array(devices8).reshape(2, 4), ("tp", "sp"))
+    cfg = ModelConfig(
+        vocab=128, dim=64, layers=2, heads=4, kv_heads=2, head_dim=16,
+        mlp_dim=128, attention="zigzag", dtype="float32",
+    )
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    tokens = jax.random.randint(
+        jax.random.PRNGKey(1), (1, S), 0, cfg.vocab, jnp.int32
+    )
+    t_l, l_l, pos = prepare_zigzag_batch(tokens, 4)
+
+    # reference: sp-only mesh, replicated weights
+    mesh_sp = Mesh(np.array(devices8[:4]), ("sp",))
+
+    @partial(
+        shard_map, mesh=mesh_sp,
+        in_specs=(P(), P(None, "sp"), P(None, "sp"), P("sp")),
+        out_specs=(P(), P()), check_vma=False,
+    )
+    def step_ref(params, tokens, labels, pos):
+        return train_step(params, cfg, tokens, labels, pos, lr=1e-2,
+                          axis_name="sp")
+
+    ref_params, ref_loss = jax.jit(step_ref)(params, t_l, l_l, pos)
+
+    specs = param_specs(cfg, "tp")
+
+    @partial(
+        shard_map, mesh=mesh,
+        in_specs=(specs, P(None, "sp"), P(None, "sp"), P("sp")),
+        out_specs=(specs, P()), check_vma=False,
+    )
+    def step_tp(params, tokens, labels, pos):
+        return train_step(params, cfg, tokens, labels, pos, lr=1e-2,
+                          axis_name="sp", tp_axis="tp")
+
+    tp_params, tp_loss = jax.jit(step_tp)(params, t_l, l_l, pos)
+    assert abs(float(tp_loss) - float(ref_loss)) < 1e-5
+    jax.tree.map(
+        lambda a, b: np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), atol=2e-5
+        ),
+        tp_params, ref_params,
+    )
