@@ -48,6 +48,10 @@ class ModelConfig:
     rope_theta: float = 10000.0
     dtype: str = "bfloat16"
     attention: str = "zigzag"  # ring | zigzag | stripe | llama3 | usp
+    # mixture-of-experts MLP (0 = dense): switch routing, experts sharded
+    # over an ep axis (models/moe.py)
+    moe_experts: int = 0
+    moe_capacity_factor: float = 2.0
 
     @property
     def jdtype(self):
@@ -67,17 +71,27 @@ def init_params(key, cfg: ModelConfig):
 
     def layer(k):
         ks = jax.random.split(k, 7)
-        return {
+        out = {
             "attn_norm": jnp.ones((d,), jnp.float32),
             "wq": dense(ks[0], (d, cfg.heads * hd)),
             "wk": dense(ks[1], (d, cfg.kv_heads * hd)),
             "wv": dense(ks[2], (d, cfg.kv_heads * hd)),
             "wo": dense(ks[3], (cfg.heads * hd, d)),
             "mlp_norm": jnp.ones((d,), jnp.float32),
-            "w_gate": dense(ks[4], (d, cfg.mlp_dim)),
-            "w_up": dense(ks[5], (d, cfg.mlp_dim)),
-            "w_down": dense(ks[6], (cfg.mlp_dim, d)),
         }
+        if cfg.moe_experts:
+            from .moe import init_moe_layer
+
+            out["moe"] = init_moe_layer(
+                ks[4], d, cfg.mlp_dim, cfg.moe_experts, cfg.jdtype
+            )
+        else:
+            out.update(
+                w_gate=dense(ks[4], (d, cfg.mlp_dim)),
+                w_up=dense(ks[5], (d, cfg.mlp_dim)),
+                w_down=dense(ks[6], (cfg.mlp_dim, d)),
+            )
+        return out
 
     return {
         "embed": (
@@ -196,7 +210,7 @@ def _mlp(x, layer, tp_axis=None):
 
 
 def forward(params, cfg: ModelConfig, tokens, positions, axis_name=None,
-            ulysses_axis=None, tp_axis=None):
+            ulysses_axis=None, tp_axis=None, ep_axis=None):
     """Per-shard forward. tokens (B, S_local) int32, positions (S_local,)
     giving each local token's global position (layout-dependent). Returns
     logits (B, S_local, vocab)."""
@@ -204,24 +218,33 @@ def forward(params, cfg: ModelConfig, tokens, positions, axis_name=None,
     for layer in params["layers"]:
         x = _attention(cfg, x, layer, positions, axis_name, ulysses_axis,
                        tp_axis)
-        x = _mlp(x, layer, tp_axis)
+        if cfg.moe_experts:
+            from .moe import moe_mlp
+
+            t = x.shape[0] * x.shape[1]
+            cap = max(1, int(t / cfg.moe_experts * cfg.moe_capacity_factor))
+            x = moe_mlp(x, layer["moe"], layer["mlp_norm"], cap, ep_axis)
+        else:
+            x = _mlp(x, layer, tp_axis)
     x = _rmsnorm(x, params["final_norm"])
     return (x @ params["lm_head"]).astype(jnp.float32)
 
 
 def loss_fn(params, cfg, tokens, labels, positions, axis_name=None,
-            ulysses_axis=None, tp_axis=None):
+            ulysses_axis=None, tp_axis=None, ep_axis=None):
     """Mean next-token CE. labels already shifted + laid out like tokens;
     label -100 = ignore (padding)."""
     logits = forward(params, cfg, tokens, positions, axis_name, ulysses_axis,
-                     tp_axis)
+                     tp_axis, ep_axis)
     valid = labels >= 0
     labels_safe = jnp.where(valid, labels, 0)
     logp = jax.nn.log_softmax(logits, axis=-1)
     tok_lp = jnp.take_along_axis(logp, labels_safe[..., None], axis=-1)[..., 0]
     loss_sum = jnp.sum(jnp.where(valid, -tok_lp, 0.0))
     count = jnp.sum(valid)
-    seq_axes = tuple(a for a in (axis_name, ulysses_axis) if a is not None)
+    seq_axes = tuple(
+        a for a in (axis_name, ulysses_axis, ep_axis) if a is not None
+    )
     if seq_axes:
         # exact-transpose psum: a raw psum here would scale every weight
         # gradient by the axis size (its shard_map transpose is psum)
@@ -248,9 +271,12 @@ def param_specs(cfg, tp_axis):
     }
 
 
+_EP_SHARDED = {"we_gate", "we_up", "we_down"}
+
+
 def train_step(params, cfg, tokens, labels, positions, lr=1e-3,
                axis_name=None, data_axis=None, ulysses_axis=None,
-               tp_axis=None):
+               tp_axis=None, ep_axis=None):
     """One SGD step, per-shard (call inside shard_map). Gradients are
     psum'd over the sequence axes (weights replicated there) and, when
     given, the data axis. Under tp, the _tp_copy operator inside each
@@ -259,13 +285,25 @@ def train_step(params, cfg, tokens, labels, positions, lr=1e-3,
     reduction (no per-leaf tp fixups)."""
     loss, grads = jax.value_and_grad(loss_fn)(
         params, cfg, tokens, labels, positions, axis_name, ulysses_axis,
-        tp_axis,
+        tp_axis, ep_axis,
     )
     base_axes = tuple(
         a for a in (axis_name, ulysses_axis, data_axis) if a is not None
     )
-    if base_axes:
-        grads = jax.tree.map(lambda g: lax.psum(g, base_axes), grads)
+    if ep_axis is None:
+        if base_axes:
+            grads = jax.tree.map(lambda g: lax.psum(g, base_axes), grads)
+    else:
+        # ep also acts as a data axis for non-expert weights; expert
+        # weights are ep-sharded (their a2a'd grads are already complete)
+        def _reduce(path, g):
+            leaf = getattr(path[-1], "key", None)
+            axes = base_axes
+            if leaf not in _EP_SHARDED:
+                axes = axes + (ep_axis,)
+            return lax.psum(g, axes) if axes else g
+
+        grads = jax.tree_util.tree_map_with_path(_reduce, grads)
     if data_axis:
         loss = lax.pmean(loss, data_axis)
     new_params = jax.tree.map(
