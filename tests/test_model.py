@@ -205,7 +205,6 @@ def test_pipeline_forward_and_train_match(devices8):
     """GPipe pipeline (pp x sp): forward logits and one train step match
     the single-device / replicated computation."""
     from ring_flash_attn_tpu.models.pipeline import (
-        forward_pp,
         pipeline_specs,
         stack_layers,
         train_step_pp,
@@ -223,34 +222,13 @@ def test_pipeline_forward_and_train_match(devices8):
     )
     t_l, l_l, pos = prepare_zigzag_batch(tokens, 4)
 
-    # reference: plain forward + train step on the sp-only mesh
+    # reference: plain train step on the sp-only mesh; parity is checked
+    # through the loss and the updated weights (only the last pp stage
+    # holds real logits, so a direct forward comparison needs a gather —
+    # train_step_pp exercises forward_pp end to end anyway)
     mesh_sp = Mesh(np.array(devices8[:4]), ("sp",))
-
-    @partial(shard_map, mesh=mesh_sp,
-             in_specs=(P(), P(None, "sp"), P("sp")),
-             out_specs=P(None, "sp"), check_vma=False)
-    def fwd_ref(params, tokens, pos):
-        return forward(params, cfg, tokens, pos, axis_name="sp")
-
-    logits_ref = jax.jit(fwd_ref)(params, t_l, pos)
-
     stacked = stack_layers(params, 2)
     specs = pipeline_specs(cfg, "pp")
-
-    @partial(shard_map, mesh=mesh,
-             in_specs=(specs, P(None, "sp"), P("sp")),
-             out_specs=P(None, "sp"), check_vma=False)
-    def fwd_pp(params, tokens, pos):
-        return forward_pp(params, cfg, tokens, pos, "pp", M,
-                          axis_name="sp")
-
-    logits_pp = jax.jit(fwd_pp)(stacked, t_l, pos)
-    # only the last stage's logits are real; out_specs replicated over pp
-    # picks one stage — compare where finite... simplest: compare the loss
-    # path instead, plus last-stage logits via a pp-gathered max check.
-    # forward_pp returns per-stage values; with out_specs P(None, "sp")
-    # (replicated over pp) shard_map takes stage 0's copy, which is NOT the
-    # real logits. So check parity through train_step_pp's loss:
 
     @partial(shard_map, mesh=mesh_sp,
              in_specs=(P(), P(None, "sp"), P(None, "sp"), P("sp")),
