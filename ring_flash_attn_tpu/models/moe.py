@@ -39,11 +39,18 @@ def init_moe_layer(key, dim, mlp_dim, experts, dtype):
     }
 
 
-def moe_mlp(x, layer, norm_w, capacity, ep_axis=None):
+def moe_mlp(x, layer, norm_w, capacity, ep_axis=None, return_aux=False):
     """Switch MoE block: x (B, S, D) -> x + MoE(RMSNorm(x)).
 
     layer: init_moe_layer params (expert dim sharded over ep_axis when
     given). capacity: per-(expert, source-shard) queue length (static).
+
+    return_aux=True additionally returns the raw statistics of the switch
+    load-balancing auxiliary loss, (count_e, probsum_e) over the LOCAL
+    tokens — the trainer psums them across shards and forms
+    aux = E * sum_e (count_e/T) * (probsum_e/T) globally, so the sharded
+    aux is exactly the unsharded one. Without the aux, top-1 routing has
+    nothing preventing expert collapse.
     """
     b, s, d = x.shape
     xn = _rmsnorm(x, norm_w).reshape(b * s, d)
@@ -91,4 +98,9 @@ def moe_mlp(x, layer, norm_w, capacity, ep_axis=None):
             expert_out, ep_axis, split_axis=1, concat_axis=0, tiled=True
         )
     y = jnp.einsum("tec,ecd->td", combine, expert_out)
-    return x + y.reshape(b, s, d).astype(x.dtype)
+    out = x + y.reshape(b, s, d).astype(x.dtype)
+    if not return_aux:
+        return out
+    count_e = jnp.sum(onehot, axis=0)  # router decisions (no grad path)
+    probsum_e = jnp.sum(probs, axis=0)  # differentiable
+    return out, (count_e, probsum_e)

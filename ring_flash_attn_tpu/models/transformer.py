@@ -52,6 +52,9 @@ class ModelConfig:
     # over an ep axis (models/moe.py)
     moe_experts: int = 0
     moe_capacity_factor: float = 2.0
+    # weight of the switch load-balancing auxiliary loss (prevents expert
+    # collapse under top-1 routing; 0 disables)
+    moe_aux_weight: float = 0.01
 
     @property
     def jdtype(self):
@@ -215,6 +218,7 @@ def forward(params, cfg: ModelConfig, tokens, positions, axis_name=None,
     giving each local token's global position (layout-dependent). Returns
     logits (B, S_local, vocab)."""
     x = params["embed"][tokens]
+    counts, probsums = [], []
     for layer in params["layers"]:
         x = _attention(cfg, x, layer, positions, axis_name, ulysses_axis,
                        tp_axis)
@@ -223,19 +227,27 @@ def forward(params, cfg: ModelConfig, tokens, positions, axis_name=None,
 
             t = x.shape[0] * x.shape[1]
             cap = max(1, int(t / cfg.moe_experts * cfg.moe_capacity_factor))
-            x = moe_mlp(x, layer["moe"], layer["mlp_norm"], cap, ep_axis)
+            x, (c_e, p_e) = moe_mlp(x, layer["moe"], layer["mlp_norm"], cap,
+                                    ep_axis, return_aux=True)
+            counts.append(c_e)
+            probsums.append(p_e)
         else:
             x = _mlp(x, layer, tp_axis)
     x = _rmsnorm(x, params["final_norm"])
-    return (x @ params["lm_head"]).astype(jnp.float32)
+    logits = (x @ params["lm_head"]).astype(jnp.float32)
+    if cfg.moe_experts:
+        # per-layer LOCAL router stats; the loss reduces them globally
+        return logits, (jnp.stack(counts), jnp.stack(probsums))
+    return logits
 
 
 def loss_fn(params, cfg, tokens, labels, positions, axis_name=None,
             ulysses_axis=None, tp_axis=None, ep_axis=None):
     """Mean next-token CE. labels already shifted + laid out like tokens;
     label -100 = ignore (padding)."""
-    logits = forward(params, cfg, tokens, positions, axis_name, ulysses_axis,
-                     tp_axis, ep_axis)
+    out = forward(params, cfg, tokens, positions, axis_name, ulysses_axis,
+                  tp_axis, ep_axis)
+    logits, aux = out if cfg.moe_experts else (out, 0.0)
     valid = labels >= 0
     labels_safe = jnp.where(valid, labels, 0)
     logp = jax.nn.log_softmax(logits, axis=-1)
@@ -250,7 +262,21 @@ def loss_fn(params, cfg, tokens, labels, positions, axis_name=None,
         # gradient by the axis size (its shard_map transpose is psum)
         loss_sum = psum_exact(loss_sum, seq_axes)
         count = lax.psum(count, seq_axes)  # count carries no gradient
-    return loss_sum / jnp.maximum(count, 1)
+    loss = loss_sum / jnp.maximum(count, 1)
+    if cfg.moe_experts and cfg.moe_aux_weight:
+        # global switch aux from the per-shard router statistics: the
+        # psum'd stats make the sharded aux EXACTLY the unsharded one
+        counts_l, probsums_l = aux
+        t_local = jnp.float32(tokens.shape[0] * tokens.shape[1])
+        if seq_axes:
+            counts_l = lax.psum(counts_l, seq_axes)  # no grad path
+            probsums_l = psum_exact(probsums_l, seq_axes)
+            t_local = lax.psum(t_local, seq_axes)
+        f_e = counts_l / t_local  # (L, E)
+        p_e = probsums_l / t_local
+        aux_val = cfg.moe_experts * jnp.sum(f_e * p_e, axis=-1)  # (L,)
+        loss = loss + cfg.moe_aux_weight * jnp.mean(aux_val)
+    return loss
 
 
 def param_specs(cfg, tp_axis):

@@ -66,10 +66,17 @@ def mask_info(mask):
             x, jnp.int32
         )
 
-    rel_static = _static_int(mask.offset) and _static_int(mask.kv_offset)
-    static_rel = (
-        int(mask.offset or 0) - int(mask.kv_offset or 0) if rel_static else 0
-    )
+    if mask.offset is not None and mask.offset is mask.kv_offset:
+        # identical traced objects => relative shift is provably 0 (ring
+        # diagonal steps pass the same rank*L for both): the triangular
+        # causal grid stays available
+        rel_static, static_rel = True, 0
+    else:
+        rel_static = _static_int(mask.offset) and _static_int(mask.kv_offset)
+        static_rel = (
+            int(mask.offset or 0) - int(mask.kv_offset or 0)
+            if rel_static else 0
+        )
     info = jnp.stack(
         [scalar(mask.offset), scalar(mask.kv_offset),
          scalar(mask.dropout_seed), scalar(mask.head_offset)]

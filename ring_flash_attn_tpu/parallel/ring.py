@@ -50,14 +50,27 @@ def _step_mask(step, rank, w, l_kv, causal, extras):
     window = kw.pop("window_left", None)
     need_abs = kw.get("alibi_slopes") is not None or kw.get("dropout_p")
     if need_abs:
-        src = (rank - step) % w
-        kw.update(offset=rank * l_kv, kv_offset=src * l_kv)
+        qo = rank * l_kv
+        # diagonal step: pass the SAME traced object for both offsets so
+        # mask_info proves rel == 0 and keeps the triangular causal grid
+        ko = qo if step == 0 else ((rank - step) % w) * l_kv
+        kw.update(offset=qo, kv_offset=ko)
     if window is not None:
         kw.update(window_left=window)
         if not need_abs and step > 0:
             kw.update(offset=(rank - (rank - step) % w) * l_kv)
         return MaskArgs(causal=True, **kw)
     return MaskArgs(causal=causal and step == 0, **kw)
+
+
+def _window_skip(step, l_kv, extras):
+    """True when ring step `step`'s resident shard is entirely outside the
+    sliding window (min q-kv distance = step*L - (L-1)) — static, so the
+    whole block call is pruned at trace time (rotations still run)."""
+    wl = extras.get("window_left")
+    return (
+        wl is not None and step > 0 and step * l_kv - (l_kv - 1) > wl
+    )
 
 
 def _ring_fwd(q, k, v, scale, causal, axis_name, backend, extras):
@@ -73,6 +86,10 @@ def _ring_fwd(q, k, v, scale, causal, axis_name, backend, extras):
         # wait() overlap (reference ring_flash_attn.py:28,61).
         kv_next = ring_rotate(kv, axis_name) if step < w - 1 else None
         kk, vv = kv[0], kv[1]
+        if _window_skip(step, l_kv, extras):
+            if kv_next is not None:
+                kv = kv_next
+            continue
         mask = _step_mask(step, rank, w, l_kv, causal, extras)
         if step == 0:
             b_out, b_lse = block_fwd(q, kk, vv, scale, mask, backend)
@@ -109,6 +126,13 @@ def _ring_bwd(q, k, v, out, lse, dout, scale, causal, axis_name, backend,
     for step in range(w):
         kv_next = ring_rotate(kv, axis_name) if step < w - 1 else None
         kk, vv = kv[0], kv[1]
+        if _window_skip(step, l_kv, extras):
+            # out-of-window shard: no gradient contribution, but the dkv
+            # accumulator must still make its full circle
+            dkv = ring_rotate(dkv, axis_name)
+            if kv_next is not None:
+                kv = kv_next
+            continue
         mask = _step_mask(step, rank, w, l_kv, causal, extras)
         if step == 0 or not causal:
             b_dq, b_dk, b_dv = block_bwd(

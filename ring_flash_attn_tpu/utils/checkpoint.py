@@ -15,8 +15,10 @@ PyTreeCheckpointer with the two context-parallel-specific concerns:
   and user metadata ride in the same checkpoint.
 """
 
+import json
+import os
+
 import jax
-import numpy as np
 
 try:
     import orbax.checkpoint as ocp
@@ -30,15 +32,15 @@ def save_checkpoint(path, state, step, metadata=None):
     """Save a training-state pytree (+ step and metadata) to `path`.
 
     state: any pytree of jax Arrays (params, opt state, ...), possibly
-    sharded. path: directory (created by orbax). Overwrites."""
+    sharded. path: directory (orbax tree at path/state, JSON sidecar at
+    path/meta.json — a sidecar so metadata survives sharded template
+    restores with any structure). Overwrites."""
     assert _HAS_ORBAX, "orbax-checkpoint is required for checkpointing"
-    ckpt = {
-        "state": state,
-        "step": np.int64(step),
-        "metadata": metadata or {},
-    }
+    path = str(path)
     ckptr = ocp.PyTreeCheckpointer()
-    ckptr.save(str(path), ckpt, force=True)
+    ckptr.save(os.path.join(path, "state"), state, force=True)
+    with open(os.path.join(path, "meta.json"), "w") as f:
+        json.dump({"step": int(step), "metadata": metadata or {}}, f)
 
 
 def restore_checkpoint(path, abstract_state=None):
@@ -47,19 +49,18 @@ def restore_checkpoint(path, abstract_state=None):
     abstract_state: optional pytree of jax.ShapeDtypeStruct (with shardings
     for a sharded restore); None restores as saved (replicated arrays)."""
     assert _HAS_ORBAX, "orbax-checkpoint is required for checkpointing"
+    path = str(path)
     ckptr = ocp.PyTreeCheckpointer()
     if abstract_state is None:
-        ckpt = ckptr.restore(str(path))
+        state = ckptr.restore(os.path.join(path, "state"))
     else:
-        item = {
-            "state": abstract_state,
-            "step": np.int64(0),
-            "metadata": {},
-        }
-        ckpt = ckptr.restore(
-            str(path), args=ocp.args.PyTreeRestore(item=item)
+        state = ckptr.restore(
+            os.path.join(path, "state"),
+            args=ocp.args.PyTreeRestore(item=abstract_state),
         )
-    return ckpt["state"], int(ckpt["step"]), ckpt.get("metadata", {})
+    with open(os.path.join(path, "meta.json")) as f:
+        meta = json.load(f)
+    return state, int(meta["step"]), meta.get("metadata", {})
 
 
 def abstract_like(tree, sharding=None):

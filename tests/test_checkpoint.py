@@ -67,3 +67,31 @@ def test_save_restore_resume_exact():
     assert np.allclose(losses_a + losses_b, losses_full, atol=1e-6), (
         losses_a + losses_b, losses_full,
     )
+
+
+def test_sharded_restore_keeps_metadata(devices8):
+    """The abstract_state (sharded-template) restore path must return the
+    saved step and user metadata (regression: a template restore used to
+    drop them)."""
+    from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+
+    from ring_flash_attn_tpu.utils.checkpoint import abstract_like
+
+    params = init_params(jax.random.PRNGKey(0), CFG)
+    mesh = Mesh(np.array(devices8), ("x",))
+    sharding = NamedSharding(mesh, P())
+    with tempfile.TemporaryDirectory() as d:
+        path = d + "/ckpt"
+        save_checkpoint(path, params, step=7,
+                        metadata={"seed": 42, "data_pos": 1234})
+        restored, step, meta = restore_checkpoint(
+            path, abstract_like(params, sharding)
+        )
+        assert step == 7
+        assert meta == {"seed": 42, "data_pos": 1234}
+        jax.tree.map(
+            lambda a, b: np.testing.assert_array_equal(
+                np.asarray(a), np.asarray(b)
+            ),
+            restored, params,
+        )

@@ -125,11 +125,8 @@ def test_tp_forward_matches_single_device(devices8):
         jax.random.PRNGKey(1), (1, S), 0, cfg.vocab, jnp.int32
     )
     t_l, l_l, pos = prepare_zigzag_batch(tokens, 4)
-    logits_ref = forward(
-        params, cfg, t_l, pos, axis_name=None
-    ) if False else None
-
-    # single-device oracle on the zigzag layout == restore-compare instead
+    # single-device oracle on the full sequence; compare after restoring
+    # the zigzag layout
     pos_full = jnp.arange(S, dtype=jnp.int32)
     ref_full = forward(params, cfg, tokens, pos_full, axis_name=None)
 
