@@ -51,3 +51,23 @@ def test_fused_ring_vs_oracle(devices8, data, causal):
     ref_lse = full_attention_lse(q, k, v, SCALE, causal=causal)
     assert jnp.max(jnp.abs(out - ref)) < 2e-5
     assert jnp.max(jnp.abs(lse - ref_lse)) < 2e-5
+
+
+def test_fused_ring_partial_mesh_bf16(devices8, data):
+    """4-device ring, bf16 inputs, multiple (batch, kv-head) grid instances
+    — exercises the cross-instance credit accounting and the dtype path."""
+    mesh = Mesh(devices8[:4], ("sp",))
+    q, k, v = (x.astype(jnp.bfloat16) for x in data)
+
+    @partial(shard_map, mesh=mesh, in_specs=(SPEC4,) * 3,
+             out_specs=(SPEC4, SPEC3), check_vma=False)
+    def sharded(q, k, v):
+        return fused_ring_attention(
+            q, k, v, scale=SCALE, causal=True, axis_name="sp",
+            interpret=True,
+        )
+
+    out, lse = jax.jit(sharded)(q, k, v)
+    qf, kf, vf = (x.astype(jnp.float32) for x in (q, k, v))
+    ref = full_attention(qf, kf, vf, SCALE, causal=True)
+    assert jnp.max(jnp.abs(out.astype(jnp.float32) - ref)) < 2e-2  # bf16

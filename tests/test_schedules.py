@@ -143,3 +143,21 @@ def test_stripe_matches_reference_stride_layout():
     x = jnp.arange(16)[None, :]
     shard = layouts.extract_local_stripe(x, rank=1, world=4, axis=1)
     assert shard.tolist() == [[1, 5, 9, 13]]
+
+
+def test_psum_exact_transpose(devices8):
+    """psum_exact: forward sums over the axis; backward is the identity —
+    unlike raw lax.psum under shard_map, whose transpose is psum (cotangent
+    scaled by the axis size)."""
+    from ring_flash_attn_tpu.parallel.mesh import psum_exact
+
+    mesh = Mesh(devices8[:4], ("x",))
+
+    @partial(shard_map, mesh=mesh, in_specs=(P("x"),), out_specs=P("x"),
+             check_vma=False)
+    def g(w):
+        return jax.grad(lambda w: psum_exact(3.0 * w[0], "x"))(w)
+
+    grad = g(jnp.arange(4, dtype=jnp.float32))
+    # true d(psum(3*w_r))/d w_r = 3 on every shard; raw psum would give 12
+    assert jnp.allclose(grad, 3.0), grad
