@@ -41,10 +41,11 @@ from .mask import (
 )
 from .pallas_fwd import _LN2, _LOG2E, _pick_block, mask_info
 
-# Measured on v5e at the headline shape (see bench.py): 1024x512 beats
-# 512x512 by ~6% on the combined dq+dkv pass.
+# Measured on v5e at the headline shape (tools/tune_bwd_split.py sweeps
+# the dq and dkv kernels separately): square 1024 blocks win for both
+# (dq 6.9ms / dkv 8.3ms vs 7.6/9.2 at kv=512), ~49% of chip peak fwd+bwd.
 DEFAULT_BLOCK_Q = 1024
-DEFAULT_BLOCK_KV = 512
+DEFAULT_BLOCK_KV = 1024
 
 
 # ---------------------------------------------------------------------------
