@@ -90,7 +90,16 @@ def ring_attention_forward(q, k, v, causal=True, softmax_scale=None,
     )
     axis = _axis(group if group is not None else DATA_PARAMS.get("group"))
     l = q.shape[1]
-    rank = lax.axis_index(axis)
+    try:
+        rank = lax.axis_index(axis)
+    except NameError:
+        # not inside shard_map over the CP axis — e.g. flax module init
+        # traces the patched attention while constructing a model AFTER
+        # substitute_hf_flash_attn(); run the single-device path
+        return flash_attn_func(
+            q, k, v, softmax_scale=softmax_scale, causal=causal,
+            softcap=softcap, alibi_slopes=alibi_slopes,
+        )
     if position_ids is not None:
         tok_idx = rank * l + jnp.arange(l, dtype=jnp.int32)
         seg_local = tok_idx - position_ids.reshape(-1).astype(jnp.int32)

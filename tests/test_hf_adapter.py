@@ -123,3 +123,64 @@ def test_ring_attention_forward_softcap(devices8):
     ref = jnp.einsum("hgqk,hkd->hgqd", p, v[0].transpose(1, 0, 2))
     ref = ref.reshape(H, S, D).transpose(1, 0, 2)[None]
     assert jnp.max(jnp.abs(out - ref)) < 2e-5
+
+
+@pytest.mark.parametrize("family", ["mistral", "gemma"])
+def test_patched_families_match_unpatched(devices8, family):
+    """The adapter claims llama/mistral/gemma coverage — verify the other
+    two families' patched sharded forward matches stock HF."""
+    import importlib
+
+    if family == "mistral":
+        from transformers import MistralConfig as Cfg
+
+        mod = importlib.import_module(
+            "transformers.models.mistral.modeling_flax_mistral"
+        )
+        model_cls = mod.FlaxMistralForCausalLM
+        # NOTE: sliding_window must be >= S: HF's Flax mistral builds
+        # triu(causal, k=-(sliding_window or 0)), so None degenerates to a
+        # self-attention-only band — not plain causal attention
+        cfg = Cfg(
+            vocab_size=128, hidden_size=64, intermediate_size=128,
+            num_hidden_layers=2, num_attention_heads=4,
+            num_key_value_heads=2, max_position_embeddings=S,
+            sliding_window=4096,
+        )
+    else:
+        from transformers import GemmaConfig as Cfg
+
+        mod = importlib.import_module(
+            "transformers.models.gemma.modeling_flax_gemma"
+        )
+        model_cls = mod.FlaxGemmaForCausalLM
+        cfg = Cfg(
+            vocab_size=128, hidden_size=64, intermediate_size=128,
+            num_hidden_layers=2, num_attention_heads=4,
+            num_key_value_heads=2, head_dim=16,
+            max_position_embeddings=S,
+        )
+
+    model = model_cls(cfg, dtype=jnp.float32, seed=0)
+    mesh = Mesh(devices8, ("sp",))
+    rfa.substitute_hf_flash_attn(process_group="sp")
+
+    tokens = jax.random.randint(jax.random.PRNGKey(1), (1, S), 0, 128,
+                                jnp.int32)
+    pos = jnp.arange(S, dtype=jnp.int32)[None]
+    attn_mask = jnp.ones((1, S), jnp.int32)
+
+    adapter_mod.use_ring_attn(False)
+    ref = model.module.apply(
+        {"params": model.params}, tokens, attn_mask, pos
+    )[0]
+    adapter_mod.use_ring_attn(True)
+
+    @partial(shard_map, mesh=mesh,
+             in_specs=(P(), P(None, "sp"), P(None, "sp"), P(None, "sp")),
+             out_specs=P(None, "sp"), check_vma=False)
+    def sharded(params, tokens, mask, pos):
+        return model.module.apply({"params": params}, tokens, mask, pos)[0]
+
+    out = jax.jit(sharded)(model.params, tokens, attn_mask, pos)
+    assert jnp.max(jnp.abs(out - ref)) < 2e-4, float(jnp.max(jnp.abs(out - ref)))
