@@ -83,7 +83,7 @@ def update_cache(cache: QuantizedKV, k_new, v_new, index):
 
 
 def quant_decode_attention(q, cache: QuantizedKV, length, scale,
-                           pos_offset=0, softcap=None):
+                           pos_offset=0, softcap=None, backend=None):
     """Decode attention of q (B, Hq, Tq, D) against the quantized cache.
 
     length: number of valid cache positions (traced ok); positions >= length
@@ -93,6 +93,18 @@ def quant_decode_attention(q, cache: QuantizedKV, length, scale,
     path on unquantized kv). Returns (out f32, lse f32) partials so shards
     can be LSE-merged.
     """
+    from ..config import get_backend
+
+    resolved = get_backend(backend)
+    if resolved != "xla" and cache.k_q.shape[2] % 128 == 0:
+        # streaming Pallas kernel: no whole-cache f32 temporaries (the XLA
+        # path materializes dequantized k/v and the full logits row)
+        from .quant_decode_pallas import pallas_quant_decode
+
+        return pallas_quant_decode(
+            q, cache, length, scale, softcap=softcap,
+            interpret=(resolved == "pallas_interpret"),
+        )
     b, hq, tq, d = q.shape
     hkv, s = cache.k_q.shape[1], cache.k_q.shape[2]
     g = hq // hkv

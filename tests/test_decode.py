@@ -179,3 +179,28 @@ def test_quant_decode_softcap():
     p = jax.nn.softmax(s_, axis=-1)
     ref = jnp.einsum("bhgk,bhkd->bhgd", p, vd).reshape(B, HQ, 1, D)
     assert jnp.max(jnp.abs(out - ref)) < 1e-4
+
+
+def test_pallas_decode_matches_xla():
+    """The streaming Pallas decode kernel (interpret mode) matches the XLA
+    path, including length masking, GQA, softcap, and fp8 caches."""
+    import jax
+    import jax.numpy as jnp
+    from ring_flash_attn_tpu.ops.quant import (
+        quantize_kv, quant_decode_attention,
+    )
+
+    B, HQ, HKV, S, D = 2, 4, 2, 512, 64
+    q = jax.random.normal(jax.random.PRNGKey(0), (B, HQ, 1, D), jnp.float32)
+    k = jax.random.normal(jax.random.PRNGKey(1), (B, HKV, S, D), jnp.float32)
+    v = jax.random.normal(jax.random.PRNGKey(2), (B, HKV, S, D), jnp.float32)
+    for qdtype, cap in (("int8", None), ("int8", 12.0), ("fp8_e4m3", None)):
+        cache = quantize_kv(k, v, qdtype=qdtype)
+        ref_o, ref_l = quant_decode_attention(
+            q, cache, 300, D**-0.5, softcap=cap, backend="xla"
+        )
+        got_o, got_l = quant_decode_attention(
+            q, cache, 300, D**-0.5, softcap=cap, backend="pallas_interpret"
+        )
+        assert jnp.max(jnp.abs(got_o - ref_o)) < 5e-3, (qdtype, cap)
+        assert jnp.max(jnp.abs(got_l - ref_l)) < 5e-3, (qdtype, cap)
