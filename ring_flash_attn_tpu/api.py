@@ -11,13 +11,19 @@ axis, exactly as the reference's are called per torchrun rank.
 Layout follows flash-attn: batch API q (B, S, H, D); varlen API packed
 q (T, H, D) + cu_seqlens. Internally everything runs (B, H, S, D).
 
-Feature gates mirror the reference's documented limits (README.md:152-160)
-where we have not lifted them: dropout unsupported, alibi unsupported
-(reference asserts alibi_slopes is None, ring_flash_attn.py:176);
-deterministic is a no-op (this implementation is always deterministic).
-EXTENSIONS over the reference: softcap (Gemma-2 tanh capping) is supported
-everywhere (the reference forces softcap=0.0, utils.py:19-20), and causal
-sliding windows on the single-device path.
+Feature matrix (EXTENSIONS over the reference on every row): softcap
+(Gemma-2 tanh capping) is supported everywhere (the reference forces
+softcap=0.0, utils.py:19-20); ALiBi slopes are supported everywhere (the
+reference asserts alibi_slopes is None, ring_flash_attn.py:176);
+deterministic position-hashed dropout is supported everywhere via
+dropout_p + the dropout_seed kwarg, bitwise-identical between distributed
+and single-device runs (the reference documents dropout as unsupported,
+README.md:158); causal sliding windows (window_size=(left, 0|-1)) are
+supported on the single-device path and all batch distributed paths.
+Remaining gate: sliding windows on the varlen paths raise
+NotImplementedError (the reference has the same hole, README.md:159).
+`deterministic` is accepted and ignored — every path here is always
+deterministic.
 """
 
 import jax.numpy as jnp
@@ -55,12 +61,8 @@ def _axis(group):
 
 def _check_unsupported(dropout_p, window_size, alibi_slopes,
                        allow_window=False, allow_alibi=False,
-                       allow_dropout=False):
-    if dropout_p != 0.0 and not allow_dropout:
-        raise NotImplementedError(
-            "dropout requires the dropout_seed kwarg path (an EXTENSION — "
-            "the reference documents dropout as unsupported, README.md:158)"
-        )
+                       allow_dropout=True):
+    del dropout_p, allow_dropout  # dropout is supported on every path
     window_left = None
     if tuple(window_size) != (-1, -1):
         if (

@@ -14,6 +14,7 @@ from functools import partial
 
 import jax
 import jax.numpy as jnp
+import numpy as _np
 
 from ..config import get_backend
 from .mask import MaskArgs
@@ -68,31 +69,43 @@ def compute_delta(dout, out):
 # ---------------------------------------------------------------------------
 
 
+_STATIC_MASK_TYPES = (bool, int, float, _np.integer, _np.floating, type(None))
+
+
 def flash_attention(q, k, v, scale, mask: MaskArgs, backend=None):
     """Differentiable single-device flash attention; returns (out, lse).
 
     out is cast to q.dtype, lse stays fp32 — the contract the reference's
     autograd Functions expose (reference ring_flash_attn.py:192-200).
-    mask may contain traced arrays (segids/positions), so the custom_vjp
-    closes over (scale, mask, backend) rather than threading them as
-    nondiff args.
+    Dynamic mask fields (traced dropout_seed / segids / positions / offsets)
+    ride as an explicit zero-cotangent custom_vjp argument — closing over a
+    tracer would fail at grad time — mirroring how the distributed
+    schedules thread the seed (parallel/ring.py:175-201).
     """
+    dyn = {
+        name: val for name, val in mask._asdict().items()
+        if not isinstance(val, _STATIC_MASK_TYPES)
+    }
 
     @jax.custom_vjp
-    def f(q, k, v):
-        out, lse = block_fwd(q, k, v, scale, mask, backend, out_dtype=q.dtype)
+    def f(q, k, v, dyn):
+        out, lse = block_fwd(q, k, v, scale, mask._replace(**dyn), backend,
+                             out_dtype=q.dtype)
         return out, lse
 
-    def f_fwd(q, k, v):
-        out, lse = block_fwd(q, k, v, scale, mask, backend, out_dtype=q.dtype)
-        return (out, lse), (q, k, v, out, lse)
+    def f_fwd(q, k, v, dyn):
+        out, lse = block_fwd(q, k, v, scale, mask._replace(**dyn), backend,
+                             out_dtype=q.dtype)
+        return (out, lse), (q, k, v, dyn, out, lse)
 
     def f_bwd(res, grads):
-        q, k, v, out, lse = res
+        q, k, v, dyn, out, lse = res
         dout, _ = grads  # no gradient path through lse, as in the reference
         delta = compute_delta(dout, out)
-        dq, dk, dv = block_bwd(dout, q, k, v, lse, delta, scale, mask, backend)
-        return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)
+        dq, dk, dv = block_bwd(dout, q, k, v, lse, delta, scale,
+                               mask._replace(**dyn), backend)
+        return (dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype),
+                None)
 
     f.defvjp(f_fwd, f_bwd)
-    return f(q, k, v)
+    return f(q, k, v, dyn)

@@ -95,8 +95,15 @@ def pallas_quant_decode(q, cache, length, scale, softcap=None, blk=None,
     hkv, s = cache.k_q.shape[1], cache.k_q.shape[2]
     g = hq // hkv
     rows = g * tq
-    blk = blk or min(DEFAULT_BLOCK, s)
-    assert s % blk == 0, (s, blk)
+    if blk is None:
+        # largest lane-aligned block <= DEFAULT_BLOCK dividing s (the caller
+        # gates on s % 128 == 0, so blk = 128 is always a valid floor; e.g.
+        # s = 1280 picks 640 rather than asserting on 1024)
+        blk = max(
+            c for c in range(128, min(DEFAULT_BLOCK, s) + 1, 128)
+            if s % c == 0
+        )
+    assert s % blk == 0 and blk % 128 == 0, (s, blk)
     n_blk = s // blk
 
     qf = (q.astype(jnp.float32) * scale).reshape(b * hkv, rows, d)

@@ -160,8 +160,7 @@ def _ring_bwd(q, k, v, out, lse, dout, scale, causal, axis_name, backend,
 
 def ring_attention(q, k, v, *, scale, causal, axis_name, backend=None,
                    softcap=None, alibi_slopes=None, dropout_p=None,
-                   dropout_seed=None, window_left=None,
-                     head_offset=None):
+                   dropout_seed=None, window_left=None, head_offset=None):
     """Differentiable basic ring attention on per-shard (B,H,S,D) tensors.
 
     Must be called inside shard_map with q/k/v sharded contiguously along S

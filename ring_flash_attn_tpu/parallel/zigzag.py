@@ -181,7 +181,7 @@ def _zigzag_bwd(q, k, v, out, lse, dout, scale, axis_name, backend,
 def zigzag_ring_attention(q, k, v, *, scale, axis_name, backend=None,
                           softcap=None, alibi_slopes=None, dropout_p=None,
                           dropout_seed=None, window_left=None,
-                     head_offset=None):
+                          head_offset=None):
     """Differentiable zigzag ring attention on per-shard (B,H,S,D) tensors.
 
     Causal-only. q/k/v must be laid out per extract_local_zigzag. Returns

@@ -204,3 +204,28 @@ def test_pallas_decode_matches_xla():
         )
         assert jnp.max(jnp.abs(got_o - ref_o)) < 5e-3, (qdtype, cap)
         assert jnp.max(jnp.abs(got_l - ref_l)) < 5e-3, (qdtype, cap)
+
+
+def test_pallas_decode_non_pow2_cache():
+    """Cache lengths that are multiples of 128 but not of the default 1024
+    block (e.g. 1280) must pick a dividing block, not assert (ADVICE
+    round 1, quant.py)."""
+    import jax
+    import jax.numpy as jnp
+    from ring_flash_attn_tpu.ops.quant import (
+        quantize_kv, quant_decode_attention,
+    )
+
+    B, HQ, HKV, S, D = 1, 4, 2, 1280, 64
+    q = jax.random.normal(jax.random.PRNGKey(0), (B, HQ, 1, D), jnp.float32)
+    k = jax.random.normal(jax.random.PRNGKey(1), (B, HKV, S, D), jnp.float32)
+    v = jax.random.normal(jax.random.PRNGKey(2), (B, HKV, S, D), jnp.float32)
+    cache = quantize_kv(k, v, qdtype="int8")
+    ref_o, ref_l = quant_decode_attention(
+        q, cache, 1000, D**-0.5, backend="xla"
+    )
+    got_o, got_l = quant_decode_attention(
+        q, cache, 1000, D**-0.5, backend="pallas_interpret"
+    )
+    assert jnp.max(jnp.abs(got_o - ref_o)) < 5e-3
+    assert jnp.max(jnp.abs(got_l - ref_l)) < 5e-3

@@ -201,6 +201,34 @@ def test_api_dropout_traced_seed(data):
     assert jnp.max(jnp.abs(a - c)) > 1e-3
 
 
+def test_api_dropout_traced_seed_grad(data):
+    """jax.grad through the single-device path with a TRACED seed — the
+    custom_vjp must thread the seed as an explicit argument, not close over
+    the tracer (ADVICE round 1, flash.py)."""
+    from ring_flash_attn_tpu.api import flash_attn_func
+
+    q, k, v, dout = data
+    qs, ks, vs = (x.transpose(0, 2, 1, 3) for x in (q, k, v))
+    douts = dout.transpose(0, 2, 1, 3)
+
+    @jax.jit
+    def g(q, k, v, seed):
+        def loss(q, k, v):
+            o = flash_attn_func(
+                q, k, v, dropout_p=P_DROP, causal=True, dropout_seed=seed
+            )
+            return jnp.sum(o * douts)
+
+        return jax.grad(loss, (0, 1, 2))(q, k, v)
+
+    dq1, dk1, dv1 = g(qs, ks, vs, jnp.int32(SEED))
+    dq2, _, _ = g(qs, ks, vs, jnp.int32(SEED))
+    dq3, _, _ = g(qs, ks, vs, jnp.int32(SEED + 7))
+    assert jnp.array_equal(dq1, dq2)
+    assert jnp.max(jnp.abs(dq1 - dq3)) > 1e-5
+    assert all(jnp.all(jnp.isfinite(x)) for x in (dq1, dk1, dv1))
+
+
 @pytest.mark.parametrize("kind", ["zigzag", "stripe"])
 def test_layout_dropout_equals_single_device(devices8, data, kind):
     """Zigzag/stripe dropout uses the layouts' closed-form global positions:
