@@ -20,10 +20,10 @@ dropout_p + the dropout_seed kwarg, bitwise-identical between distributed
 and single-device runs (the reference documents dropout as unsupported,
 README.md:158); causal sliding windows (window_size=(left, 0|-1)) are
 supported on the single-device path and all batch distributed paths.
-Remaining gate: sliding windows on the varlen paths raise
-NotImplementedError (the reference has the same hole, README.md:159).
-`deterministic` is accepted and ignored — every path here is always
-deterministic.
+Causal sliding windows are also supported on all varlen paths (ring,
+zigzag, llama3) — the reference has a documented hole there
+(README.md:159). `deterministic` is accepted and ignored — every path
+here is always deterministic.
 """
 
 import jax.numpy as jnp
@@ -157,9 +157,16 @@ def flash_attn_varlen_func(
     deterministic=False,
     return_attn_probs=False, dropout_seed=None,
 ):
-    """Single-device varlen flash attention, q/k/v packed (T, H, D)."""
-    _check_unsupported(dropout_p, window_size, alibi_slopes,
-                       allow_alibi=True, allow_dropout=True)
+    """Single-device varlen flash attention, q/k/v packed (T, H, D).
+
+    Causal sliding windows via window_size=(left, 0) are an EXTENSION: the
+    reference inherits flash-attn varlen's window support but its ring
+    paths do not (reference README.md:159)."""
+    window_left = _check_unsupported(dropout_p, window_size, alibi_slopes,
+                                     allow_window=True, allow_alibi=True,
+                                     allow_dropout=True)
+    if window_left is not None and not causal:
+        raise NotImplementedError("sliding window requires causal=True")
     t = q.shape[0]
     seg = cu_seqlens_to_segids(cu_seqlens, t)
     pos = cu_seqlens_to_positions(cu_seqlens, t)
@@ -167,6 +174,7 @@ def flash_attn_varlen_func(
     mask = MaskArgs(
         causal=causal, q_segids=seg, kv_segids=seg,
         q_pos=pos if need_pos else None, kv_pos=pos if need_pos else None,
+        window_left=window_left,
         softcap=_cap(softcap), alibi_slopes=alibi_slopes,
         dropout_p=dropout_p or None, dropout_seed=dropout_seed,
     )
@@ -297,9 +305,14 @@ def ring_flash_attn_varlen_func(
     """Varlen ring attention. q/k/v (T_local, H, D) packed; cu_seqlens is
     the shared LOCAL cu_seqlens (= global // world, identical on every
     rank — the reference's single-cu_seqlens constraint, README.md:74).
-    Layout: rank r holds part r of every sequence."""
-    _check_unsupported(dropout_p, window_size, alibi_slopes,
-                       allow_alibi=True, allow_dropout=True)
+    Layout: rank r holds part r of every sequence. Causal sliding windows
+    (window_size=(left, 0)) are an EXTENSION over the reference
+    (README.md:159 documents varlen windows as unsupported there)."""
+    window_left = _check_unsupported(dropout_p, window_size, alibi_slopes,
+                                     allow_window=True, allow_alibi=True,
+                                     allow_dropout=True)
+    if window_left is not None and not causal:
+        raise NotImplementedError("sliding window requires causal=True")
     axis = _axis(group)
     t = q.shape[0]
     rank = lax.axis_index(axis)
@@ -310,6 +323,7 @@ def ring_flash_attn_varlen_func(
         scale=_scale(softmax_scale, q.shape[-1]), causal=causal,
         axis_name=axis, softcap=_cap(softcap), alibi_slopes=alibi_slopes,
         dropout_p=dropout_p or None, dropout_seed=dropout_seed,
+        window_left=window_left,
     )
     out = out[0].transpose(1, 0, 2)
     if return_attn_probs:
@@ -341,9 +355,12 @@ def zigzag_ring_flash_attn_varlen_func(
     """Zigzag varlen ring attention (grouped layout — see
     parallel/zigzag_varlen.py and ops/varlen.py for the layout change vs
     the reference). cu_seqlens is the shared local cu_seqlens
-    (= global // world); every sequence length divisible by 2*world."""
-    _check_unsupported(dropout_p, window_size, alibi_slopes,
-                       allow_alibi=True, allow_dropout=True)
+    (= global // world); every sequence length divisible by 2*world.
+    Causal sliding windows (window_size=(left, 0)) are an EXTENSION over
+    the reference (README.md:159)."""
+    window_left = _check_unsupported(dropout_p, window_size, alibi_slopes,
+                                     allow_window=True, allow_alibi=True,
+                                     allow_dropout=True)
     if not causal:
         raise ValueError("zigzag varlen is causal-only")
     axis = _axis(group)
@@ -358,6 +375,7 @@ def zigzag_ring_flash_attn_varlen_func(
         scale=_scale(softmax_scale, q.shape[-1]), axis_name=axis,
         softcap=_cap(softcap), alibi_slopes=alibi_slopes,
         dropout_p=dropout_p or None, dropout_seed=dropout_seed,
+        window_left=window_left,
     )
     out = out[0].transpose(1, 0, 2)
     if return_attn_probs:
@@ -441,9 +459,15 @@ def llama3_flash_attn_varlen_func(
     holds global tokens [r*L, (r+1)*L). Internally the asymmetric
     cu_seqlens_q/k become globally-consistent segment labels (each
     sequence's global start position) + a rank*L causal offset — see
-    parallel/llama3.py."""
-    _check_unsupported(dropout_p, window_size, alibi_slopes,
-                       allow_alibi=True, allow_dropout=True)
+    parallel/llama3.py. Causal sliding windows (window_size=(left, 0))
+    are an EXTENSION over the reference (README.md:159): within a packed
+    segment, global-position distance equals within-sequence distance, so
+    the window rides the same global offsets the causal mask uses."""
+    window_left = _check_unsupported(dropout_p, window_size, alibi_slopes,
+                                     allow_window=True, allow_alibi=True,
+                                     allow_dropout=True)
+    if window_left is not None and not causal:
+        raise NotImplementedError("sliding window requires causal=True")
     axis = _axis(group)
     t = q.shape[0]
     if local_k_slice is None:
@@ -464,6 +488,7 @@ def llama3_flash_attn_varlen_func(
         heads_k_stride=heads_k_stride, axis_name=axis,
         softcap=_cap(softcap), alibi_slopes=alibi_slopes,
         dropout_p=dropout_p or None, dropout_seed=dropout_seed,
+        window_left=window_left,
     )
     out = out[0].transpose(1, 0, 2)
     if return_attn_probs:

@@ -658,13 +658,28 @@ def _dkv(dout, qs, k, v, lse, delta, mask, blk_q, blk_kv, interpret):
 
 
 def pallas_block_bwd(dout, q, k, v, lse, delta, scale, mask: MaskArgs,
-                     interpret=False, blk_q=None, blk_kv=None):
+                     interpret=False, blk_q=None, blk_kv=None, fused=None):
     """Block backward. Returns (dq, dk, dv) fp32; dk/dv per KV head.
 
     lse/delta: (B, Hq, Sq) fp32 from the (merged) forward.
+
+    fused=None auto-selects the single-pass fused kernel (5 matmuls/block
+    pair, inputs streamed once) when the resident dk/dv accumulators fit
+    VMEM; the split dq/dkv kernels below are the fallback for long KV.
     """
     b, hq, sq, d = q.shape
     skv = k.shape[2]
+    if fused is None:
+        from .pallas_bwd_fused import fused_bwd_supported
+
+        fused = fused_bwd_supported(skv, d)
+    if fused:
+        from .pallas_bwd_fused import pallas_block_bwd_fused
+
+        return pallas_block_bwd_fused(
+            dout, q, k, v, lse, delta, scale, mask,
+            interpret=interpret, blk_q=blk_q, blk_kv=blk_kv,
+        )
     blk_q = blk_q or _pick_block(sq, DEFAULT_BLOCK_Q)
     blk_kv = blk_kv or _pick_block(skv, DEFAULT_BLOCK_KV)
     assert sq % blk_q == 0 and skv % blk_kv == 0, (sq, blk_q, skv, blk_kv)

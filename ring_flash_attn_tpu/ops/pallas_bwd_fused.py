@@ -1,0 +1,400 @@
+"""Fused Pallas TPU flash-attention backward kernel (dq + dk + dv).
+
+The split kernels in pallas_bwd.py recompute the probability block in both
+orientations: the dq kernel does (s, dp, dq) and the dkv kernel does
+(s^T, dv, dp^T, dk) — 7 MXU matmuls per block pair where the math needs 5.
+This kernel computes the block once and feeds all three gradients:
+
+    s  = qs @ k^T              (qs = q * scale * log2e, base-2 logits)
+    p  = exp2(s - lse2)        (exact probabilities; lse2 unshifted)
+    dp = dout @ vs^T           (vs = v * scale  =>  dp = scale * dout@v^T)
+    ds = p * (dp - delta_s)    (delta_s = delta * scale)
+    dq += ds @ k                                    [exact]
+    dv[ikv] += p^T @ dout                           [exact]
+    dk[ikv] += ds^T @ qs, rescaled by ln2/scale at the final flush
+               (ds carries scale, qs carries scale*log2e => the product is
+               scale*log2e too big; one VPU pass over (Skv, D) at the end)
+
+Atomics-free accumulation (TPU has no scatter-add): the grid runs
+(batch, kv-head, pair) with pairs enumerated q-major per GQA group member
+(g, iq, ikv-inner).  dq accumulates in a (blk_q, D) scratch flushed at each
+q-block's last KV step; dk/dv accumulate via dynamic-slice stores directly
+into their full (Skv, D) fp32 output blocks, which stay VMEM-resident for
+the whole (batch, kv-head) program (their index map is constant in the pair
+dimension) and are written back to HBM once per head.  This also halves HBM
+traffic vs the split kernels: inputs are streamed once, not twice.
+
+Same role as flash-attn's fused `_flash_attn_backward`
+(reference ring_flash_attn.py:103-131), which computes dq/dk/dv in one CUDA
+kernel (with atomic dq accumulation); this is the TPU-native equivalent.
+
+VMEM cost: 2 * Skv * D * 4 bytes for the resident dk/dv blocks — the
+wrapper falls back to the split kernels when that exceeds the budget.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .mask import (
+    MaskArgs,
+    NEG_INF,
+    dropout_keep,
+    dropout_row_hash,
+    dropout_threshold,
+)
+from .pallas_fwd import _LN2, _LOG2E, mask_info
+
+# dk/dv resident fp32 accumulators: fall back to the split kernels past this
+FUSED_MAX_KV_BYTES = 32 * 1024 * 1024
+
+
+def _bwd_fused_kernel(
+    info_ref,
+    g_map_ref,  # (P,) pair -> GQA group member
+    iq_map_ref,  # (P,) pair -> q block
+    ikv_map_ref,  # (P,) pair -> kv block
+    qlast_map_ref,  # (P,) 1 iff last kv step of this (g, q-block)
+    *refs,
+    causal,
+    use_positions,
+    use_segments,
+    triangular,
+    window_left,
+    softcap,
+    use_alibi,
+    dropout_p,
+    group,
+    blk_q,
+    blk_kv,
+    num_kv_blocks,
+    num_pairs,
+    dk_rescale,
+):
+    it = iter(refs)
+    qs_ref = next(it)  # (1, 1, blk_q, D) q * scale * log2e
+    k_ref = next(it)  # (1, 1, blk_kv, D)
+    vs_ref = next(it)  # (1, 1, blk_kv, D) v * scale
+    dout_ref = next(it)  # (1, 1, blk_q, D)
+    lse_ref = next(it)  # (1, 1, blk_q, 1) f32 base-2, clamped
+    delta_ref = next(it)  # (1, 1, blk_q, 1) f32, pre-scaled by scale
+    qseg_ref = next(it) if use_segments else None
+    kseg_ref = next(it) if use_segments else None
+    qpos_ref = next(it) if use_positions else None
+    kpos_ref = next(it) if use_positions else None
+    slopes_ref = next(it) if use_alibi else None  # (Hq,) f32 SMEM
+    dq_ref = next(it)  # (1, 1, blk_q, D) f32
+    dk_ref = next(it)  # (1, 1, Skv, D) f32 (resident per head)
+    dv_ref = next(it)  # (1, 1, Skv, D) f32 (resident per head)
+    dq_s = next(it)  # (blk_q, D) f32
+
+    b_id = pl.program_id(0)
+    p = pl.program_id(2)
+    iq = iq_map_ref[p]
+    ikv = ikv_map_ref[p]
+    rel = info_ref[0] - info_ref[1]
+    h_id = (
+        pl.program_id(1) * group + g_map_ref[p]
+        if (use_alibi or dropout_p) else None
+    )
+
+    if triangular:
+        should_compute = True
+    elif causal and not use_positions:
+        last_needed = jnp.maximum(((iq + 1) * blk_q - 1 + rel) // blk_kv, 0)
+        should_compute = ikv <= last_needed
+    else:
+        should_compute = True
+
+    @pl.when(p == 0)
+    def _init_head():
+        dk_ref[...] = jnp.zeros_like(dk_ref)
+        dv_ref[...] = jnp.zeros_like(dv_ref)
+
+    @pl.when(ikv == 0)
+    def _init_qblock():
+        dq_s[...] = jnp.zeros_like(dq_s)
+
+    def _qp_kp():
+        if use_positions:
+            qp = qpos_ref[0, :].reshape(blk_q, 1)
+            kp = kpos_ref[0, :].reshape(1, blk_kv)
+        else:
+            qp = (
+                iq * blk_q + info_ref[0]
+                + jax.lax.broadcasted_iota(jnp.int32, (blk_q, 1), 0)
+            )
+            kp = (
+                ikv * blk_kv + info_ref[1]
+                + jax.lax.broadcasted_iota(jnp.int32, (1, blk_kv), 1)
+            )
+        return qp, kp
+
+    def _keep():
+        qp, kp = _qp_kp()
+        qseg = qseg_ref[0, :].reshape(blk_q, 1) if use_segments else None
+        rh = dropout_row_hash(
+            qp, qseg, h_id + info_ref[3], b_id, info_ref[2]
+        )
+        return dropout_keep(rh, kp, dropout_threshold(dropout_p))
+
+    def _allowed():
+        allowed = None
+        if causal:
+            qp, kp = _qp_kp()
+            allowed = qp >= kp
+            if window_left is not None:
+                allowed &= (qp - kp) <= window_left
+        if use_segments:
+            qs_ = qseg_ref[0, :].reshape(blk_q, 1)
+            ks_ = kseg_ref[0, :].reshape(1, blk_kv)
+            seg = qs_ == ks_
+            allowed = seg if allowed is None else (allowed & seg)
+        return allowed
+
+    def _body(masked):
+        s = jax.lax.dot_general(
+            qs_ref[0, 0],
+            k_ref[0, 0],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # (blk_q, blk_kv) base-2 logits
+        if softcap:
+            cap2 = jnp.float32(softcap * _LOG2E)
+            t = jnp.tanh(s * (1.0 / cap2))
+            s = cap2 * t
+        if use_alibi:
+            qp, kp = _qp_kp()
+            dist = (qp - kp).astype(jnp.float32)
+            if not causal:
+                dist = jnp.abs(dist)
+            s = s - slopes_ref[h_id] * dist
+        if masked:
+            s = jnp.where(_allowed(), s, NEG_INF)
+        pr = jnp.exp2(s - lse_ref[0, 0])  # exact probabilities
+        dp = jax.lax.dot_general(
+            dout_ref[0, 0],
+            vs_ref[0, 0],
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )  # scale * dout @ v^T
+        if dropout_p:
+            keep = _keep()
+            inv = jnp.float32(1.0 / (1.0 - dropout_p))
+            pr_v = jnp.where(keep, pr, 0.0) * inv
+            dp = jnp.where(keep, dp, 0.0) * inv
+        else:
+            pr_v = pr
+        ds = pr * (dp - delta_ref[0, 0])  # carries one factor of scale
+        if softcap:
+            ds = ds * (1.0 - t * t)
+        dq_s[...] += jax.lax.dot_general(
+            ds.astype(k_ref.dtype),
+            k_ref[0, 0],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        sl = pl.ds(ikv * blk_kv, blk_kv)
+        # lhs-transposed matmuls: Mosaic fuses the transpose into the MXU op
+        dv_ref[0, 0, sl, :] += jax.lax.dot_general(
+            pr_v.astype(dout_ref.dtype),
+            dout_ref[0, 0],
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+        dk_ref[0, 0, sl, :] += jax.lax.dot_general(
+            ds.astype(qs_ref.dtype),
+            qs_ref[0, 0],
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32,
+        )
+
+    if (causal and not use_positions and not use_segments
+            and window_left is None):
+        on_diag = (iq * blk_q + rel) < ((ikv + 1) * blk_kv - 1)
+
+        @pl.when(should_compute & on_diag)
+        def _masked():
+            _body(True)
+
+        @pl.when(should_compute & jnp.logical_not(on_diag))
+        def _unmasked():
+            _body(False)
+
+    else:
+
+        @pl.when(should_compute)
+        def _compute():
+            _body(causal or use_segments)
+
+    @pl.when(qlast_map_ref[p] == 1)
+    def _flush_dq():
+        dq_ref[0, 0] = dq_s[...]
+
+    @pl.when(p == num_pairs - 1)
+    def _flush_dk():
+        # cancel the scale*log2e carried by ds^T @ qs (see module docstring)
+        dk_ref[...] = dk_ref[...] * jnp.float32(dk_rescale)
+
+
+def fused_bwd_supported(skv, d):
+    return 2 * skv * d * 4 <= FUSED_MAX_KV_BYTES
+
+
+def pallas_block_bwd_fused(dout, q, k, v, lse, delta, scale,
+                           mask: MaskArgs, interpret=False,
+                           blk_q=None, blk_kv=None):
+    """Fused block backward. Returns (dq, dk, dv) fp32; dk/dv per KV head,
+    GQA group accumulated in-kernel. Same contract as pallas_block_bwd."""
+    from .pallas_bwd import DEFAULT_BLOCK_Q, DEFAULT_BLOCK_KV
+    from .pallas_fwd import _pick_block
+
+    b, hq, sq, d = q.shape
+    _, hkv, skv, _ = k.shape
+    group = hq // hkv
+    blk_q = blk_q or _pick_block(sq, DEFAULT_BLOCK_Q)
+    blk_kv = blk_kv or _pick_block(skv, DEFAULT_BLOCK_KV)
+    assert sq % blk_q == 0 and skv % blk_kv == 0, (sq, blk_q, skv, blk_kv)
+    n_q, n_kv = sq // blk_q, skv // blk_kv
+
+    causal = bool(mask.causal)
+    use_positions = mask.q_pos is not None
+    use_segments = mask.q_segids is not None
+    use_alibi = mask.alibi_slopes is not None
+    info, offset_static, static_offset = mask_info(mask)
+    triangular = causal and not use_positions and offset_static
+
+    # Pre-scaled operands (see module docstring): one fused HBM pass each.
+    qs = (q.astype(jnp.float32) * (scale * _LOG2E)).astype(q.dtype)
+    vs = (v.astype(jnp.float32) * scale).astype(v.dtype)
+    lse2 = jnp.maximum(lse.astype(jnp.float32) * _LOG2E, NEG_INF / 2)
+    lse4 = lse2[..., None]
+    delta4 = (delta.astype(jnp.float32) * scale)[..., None]
+
+    # Pair enumeration: q-major per GQA group member, kv innermost so dq
+    # accumulates in scratch; causal+static-offset prunes above-diagonal.
+    pairs = []  # (g, iq, ikv, qlast)
+    for g in range(group):
+        for iq in range(n_q):
+            if triangular:
+                nkv = min(
+                    n_kv,
+                    max(1, ((iq + 1) * blk_q - 1 + static_offset) // blk_kv
+                        + 1),
+                )
+            else:
+                nkv = n_kv
+            for ikv in range(nkv):
+                pairs.append((g, iq, ikv, int(ikv == nkv - 1)))
+    g_map = jnp.asarray([x[0] for x in pairs], jnp.int32)
+    iq_map = jnp.asarray([x[1] for x in pairs], jnp.int32)
+    ikv_map = jnp.asarray([x[2] for x in pairs], jnp.int32)
+    qlast_map = jnp.asarray([x[3] for x in pairs], jnp.int32)
+
+    grid = (b, hkv, len(pairs))
+    n_prefetch = 5
+
+    def q_index(bi, hk, p, info_ref, gm, iqm, ikvm, qlm):
+        return (bi, hk * group + gm[p], iqm[p], 0)
+
+    def _clamp_kv(ki, info_ref, iqm, p):
+        if causal and not use_positions and not triangular:
+            last_needed = jnp.maximum(
+                ((iqm[p] + 1) * blk_q - 1 + info_ref[0] - info_ref[1])
+                // blk_kv, 0
+            )
+            ki = jnp.minimum(ki, jnp.minimum(last_needed, n_kv - 1))
+        return ki
+
+    def kv_index(bi, hk, p, info_ref, gm, iqm, ikvm, qlm):
+        return (bi, hk, _clamp_kv(ikvm[p], info_ref, iqm, p), 0)
+
+    def lse_index(bi, hk, p, info_ref, gm, iqm, ikvm, qlm):
+        return (bi, hk * group + gm[p], iqm[p], 0)
+
+    def qvec_index(bi, hk, p, info_ref, gm, iqm, ikvm, qlm):
+        return (0, iqm[p])
+
+    def kvec_index(bi, hk, p, info_ref, gm, iqm, ikvm, qlm):
+        return (0, _clamp_kv(ikvm[p], info_ref, iqm, p))
+
+    def dkv_index(bi, hk, p, info_ref, gm, iqm, ikvm, qlm):
+        return (bi, hk, 0, 0)
+
+    in_specs = [
+        pl.BlockSpec((1, 1, blk_q, d), q_index, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, blk_kv, d), kv_index, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, blk_kv, d), kv_index, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, blk_q, d), q_index, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, blk_q, 1), lse_index, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, blk_q, 1), lse_index, memory_space=pltpu.VMEM),
+    ]
+    inputs = [qs, k, vs, dout, lse4, delta4]
+
+    def _vec(x, blk, idx_fn):
+        if x is not None:
+            in_specs.append(
+                pl.BlockSpec((1, blk), idx_fn, memory_space=pltpu.VMEM)
+            )
+            inputs.append(jnp.asarray(x, jnp.int32).reshape(1, -1))
+
+    _vec(mask.q_segids if use_segments else None, blk_q, qvec_index)
+    _vec(mask.kv_segids if use_segments else None, blk_kv, kvec_index)
+    _vec(mask.q_pos if use_positions else None, blk_q, qvec_index)
+    _vec(mask.kv_pos if use_positions else None, blk_kv, kvec_index)
+    if use_alibi:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+        inputs.append(jnp.asarray(mask.alibi_slopes, jnp.float32) * _LOG2E)
+
+    kernel = functools.partial(
+        _bwd_fused_kernel,
+        causal=causal,
+        use_positions=use_positions,
+        use_segments=use_segments,
+        triangular=triangular,
+        window_left=mask.window_left,
+        softcap=mask.softcap,
+        use_alibi=use_alibi,
+        dropout_p=mask.dropout_p,
+        group=group,
+        blk_q=blk_q,
+        blk_kv=blk_kv,
+        num_kv_blocks=n_kv,
+        num_pairs=len(pairs),
+        dk_rescale=_LN2 / scale,
+    )
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=n_prefetch,
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=[
+            pl.BlockSpec((1, 1, blk_q, d), q_index, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, skv, d), dkv_index, memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, skv, d), dkv_index, memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[pltpu.VMEM((blk_q, d), jnp.float32)],
+    )
+
+    dq, dk, dv = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((b, hq, sq, d), jnp.float32),
+            jax.ShapeDtypeStruct((b, hkv, skv, d), jnp.float32),
+            jax.ShapeDtypeStruct((b, hkv, skv, d), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary"),
+            # the resident dk/dv accumulators blow Mosaic's default 16MB
+            # scoped-vmem budget; v5e has 128MB of VMEM — let the kernel
+            # use it (gated by FUSED_MAX_KV_BYTES in the wrapper)
+            vmem_limit_bytes=100 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(info, g_map, iq_map, ikv_map, qlast_map, *inputs)
+    return dq, dk, dv

@@ -36,7 +36,7 @@ def _gather_chunk(kv, i, stride, axis_name):
 
 def _llama3_fwd(q, k, v, q_segids, scale, causal, heads_k_stride,
                 axis_name, backend, softcap=None, alibi_slopes=None,
-                dropout_p=None, dropout_seed=None):
+                dropout_p=None, dropout_seed=None, window_left=None):
     w = ring_size(axis_name)
     rank = ring_rank(axis_name)
     b, hq, l, d = q.shape
@@ -78,6 +78,7 @@ def _llama3_fwd(q, k, v, q_segids, scale, causal, heads_k_stride,
             ),
             dropout_p=dropout_p,
             dropout_seed=dropout_seed,
+            window_left=window_left,
             # this chunk computes global q heads [i*group, ...): give the
             # dropout hash their global ids
             head_offset=i * group if dropout_p else None,
@@ -93,7 +94,8 @@ def _llama3_fwd(q, k, v, q_segids, scale, causal, heads_k_stride,
 
 def _llama3_bwd(q, k, v, q_segids, out, lse, dout, scale, causal,
                 heads_k_stride, axis_name, backend, softcap=None,
-                alibi_slopes=None, dropout_p=None, dropout_seed=None):
+                alibi_slopes=None, dropout_p=None, dropout_seed=None,
+                window_left=None):
     w = ring_size(axis_name)
     rank = ring_rank(axis_name)
     b, hq, l, d = q.shape
@@ -133,6 +135,7 @@ def _llama3_bwd(q, k, v, q_segids, out, lse, dout, scale, causal,
             ),
             dropout_p=dropout_p,
             dropout_seed=dropout_seed,
+            window_left=window_left,
             # this chunk computes global q heads [i*group, ...): give the
             # dropout hash their global ids
             head_offset=i * group if dropout_p else None,
@@ -158,7 +161,7 @@ def _llama3_bwd(q, k, v, q_segids, out, lse, dout, scale, causal,
 def llama3_attention(q, k, v, q_segids=None, *, scale, causal=True,
                      heads_k_stride=None, axis_name, backend=None,
                      softcap=None, alibi_slopes=None, dropout_p=None,
-                     dropout_seed=None):
+                     dropout_seed=None, window_left=None):
     """Differentiable llama3 all-gather attention on per-shard (B,H,S,D).
 
     q/k/v sharded contiguously along S (packed tokens when varlen;
@@ -180,14 +183,14 @@ def llama3_attention(q, k, v, q_segids=None, *, scale, causal=True,
     def f(q, k, v, q_segids, seed):
         out, lse = _llama3_fwd(
             q, k, v, q_segids, scale, causal, heads_k_stride, axis_name,
-            backend, softcap, alibi_slopes, dropout_p, seed,
+            backend, softcap, alibi_slopes, dropout_p, seed, window_left,
         )
         return out.astype(q.dtype), lse
 
     def f_fwd(q, k, v, q_segids, seed):
         out, lse = _llama3_fwd(
             q, k, v, q_segids, scale, causal, heads_k_stride, axis_name,
-            backend, softcap, alibi_slopes, dropout_p, seed,
+            backend, softcap, alibi_slopes, dropout_p, seed, window_left,
         )
         out = out.astype(q.dtype)
         return (out, lse), (q, k, v, q_segids, seed, out, lse)
@@ -198,7 +201,7 @@ def llama3_attention(q, k, v, q_segids=None, *, scale, causal=True,
         dq, dk, dv = _llama3_bwd(
             q, k, v, q_segids, out, lse, dout, scale, causal,
             heads_k_stride, axis_name, backend, softcap, alibi_slopes,
-            dropout_p, seed,
+            dropout_p, seed, window_left,
         )
         return (
             dq.astype(q.dtype),

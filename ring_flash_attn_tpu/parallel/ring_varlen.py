@@ -37,12 +37,14 @@ from .mesh import ring_rotate, ring_size, ring_rank
 
 def _need_pos(extras):
     return (extras.get("alibi_slopes") is not None
-            or extras.get("dropout_p"))
+            or extras.get("dropout_p")
+            or extras.get("window_left") is not None)
 
 
 def _fwd(q, k, v, segids, pos, scale, causal, axis_name, backend, extras):
     w = ring_size(axis_name)
     rank = ring_rank(axis_name)
+    win = extras.get("window_left") is not None
     kv = jnp.stack([k, v])
     kseg = segids
     kpos = pos if _need_pos(extras) else None
@@ -74,7 +76,10 @@ def _fwd(q, k, v, segids, pos, scale, causal, axis_name, backend, extras):
 
             def _compute(args, kk=kk, vv=vv, kseg=kseg, kpos=kpos):
                 out, lse = args
-                mask = MaskArgs(q_segids=segids, kv_segids=kseg,
+                # a sliding window re-enables the position comparison on
+                # off-diagonal steps (qp >= kp holds trivially there, the
+                # window upper bound does not)
+                mask = MaskArgs(causal=win, q_segids=segids, kv_segids=kseg,
                                 q_pos=pos if kpos is not None else None,
                                 kv_pos=kpos, **extras)
                 b_out, b_lse = block_fwd(q, kk, vv, scale, mask, backend)
@@ -89,6 +94,7 @@ def _bwd(q, k, v, segids, pos, out, lse, dout, scale, causal, axis_name,
          backend, extras):
     w = ring_size(axis_name)
     rank = ring_rank(axis_name)
+    win = extras.get("window_left") is not None
     delta = compute_delta(dout, out)
     kv = jnp.stack([k, v])
     kseg = segids
@@ -128,7 +134,7 @@ def _bwd(q, k, v, segids, pos, out, lse, dout, scale, causal, axis_name,
 
             def _compute(args, kk=kk, vv=vv, kseg=kseg, kpos=kpos):
                 dq, dkv = args
-                mask = MaskArgs(q_segids=segids, kv_segids=kseg,
+                mask = MaskArgs(causal=win, q_segids=segids, kv_segids=kseg,
                                 q_pos=pos if kpos is not None else None,
                                 kv_pos=kpos, **extras)
                 b_dq, b_dk, b_dv = block_bwd(
@@ -145,14 +151,16 @@ def _bwd(q, k, v, segids, pos, out, lse, dout, scale, causal, axis_name,
 def ring_attention_varlen(q, k, v, segids, positions, *, scale, causal,
                           axis_name, backend=None, softcap=None,
                           alibi_slopes=None, dropout_p=None,
-                          dropout_seed=None):
+                          dropout_seed=None, window_left=None):
     """Differentiable varlen ring attention on per-shard packed (B,H,T,D).
 
     segids/positions: (T_local,) int32 per ops.varlen.ring_varlen_info.
     Call inside shard_map. Returns (out in q.dtype, lse fp32 (B,H,T)).
     """
+    if window_left is not None:
+        assert causal, "sliding window requires causal=True"
     base = dict(softcap=softcap, alibi_slopes=alibi_slopes,
-                dropout_p=dropout_p)
+                dropout_p=dropout_p, window_left=window_left)
     seed = jnp.asarray(
         0 if dropout_seed is None else dropout_seed, jnp.int32
     )

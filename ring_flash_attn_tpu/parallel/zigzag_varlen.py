@@ -28,12 +28,14 @@ from .mesh import ring_rotate, ring_size, ring_rank
 
 def _need_pos(extras):
     return (extras.get("alibi_slopes") is not None
-            or extras.get("dropout_p"))
+            or extras.get("dropout_p")
+            or extras.get("window_left") is not None)
 
 
 def _fwd(q, k, v, segids, pos, scale, axis_name, backend, extras):
     w = ring_size(axis_name)
     rank = ring_rank(axis_name)
+    win = extras.get("window_left") is not None
     half = q.shape[2] // 2
     kv = jnp.stack([k, v])
     kseg = segids
@@ -59,7 +61,8 @@ def _fwd(q, k, v, segids, pos, scale, axis_name, backend, extras):
 
         def _earlier(args, kk=kk, vv=vv, kseg=kseg, kpos=kpos):
             out, lse = args
-            mask = MaskArgs(q_segids=segids, kv_segids=kseg[:half],
+            mask = MaskArgs(causal=win, q_segids=segids,
+                            kv_segids=kseg[:half],
                             q_pos=pos if kpos is not None else None,
                             kv_pos=kpos[:half] if kpos is not None else None,
                             **extras)
@@ -70,7 +73,8 @@ def _fwd(q, k, v, segids, pos, scale, axis_name, backend, extras):
 
         def _later(args, kk=kk, vv=vv, kseg=kseg, kpos=kpos):
             out, lse = args
-            mask = MaskArgs(q_segids=segids[half:], kv_segids=kseg,
+            mask = MaskArgs(causal=win, q_segids=segids[half:],
+                            kv_segids=kseg,
                             q_pos=pos[half:] if kpos is not None else None,
                             kv_pos=kpos, **extras)
             b_out, b_lse = block_fwd(
@@ -92,6 +96,7 @@ def _bwd(q, k, v, segids, pos, out, lse, dout, scale, axis_name, backend,
          extras):
     w = ring_size(axis_name)
     rank = ring_rank(axis_name)
+    win = extras.get("window_left") is not None
     half = q.shape[2] // 2
     delta = compute_delta(dout, out)
     dout1, q1 = dout[:, :, half:], q[:, :, half:]
@@ -128,7 +133,8 @@ def _bwd(q, k, v, segids, pos, out, lse, dout, scale, axis_name, backend,
 
         def _earlier(args, kk=kk, vv=vv, kseg=kseg, kpos=kpos):
             dq, dkv = args
-            mask = MaskArgs(q_segids=segids, kv_segids=kseg[:half],
+            mask = MaskArgs(causal=win, q_segids=segids,
+                            kv_segids=kseg[:half],
                             q_pos=pos if kpos is not None else None,
                             kv_pos=kpos[:half] if kpos is not None else None,
                             **extras)
@@ -142,7 +148,7 @@ def _bwd(q, k, v, segids, pos, out, lse, dout, scale, axis_name, backend,
 
         def _later(args, kk=kk, vv=vv, kseg=kseg, kpos=kpos):
             dq, dkv = args
-            mask = MaskArgs(q_segids=seg1, kv_segids=kseg,
+            mask = MaskArgs(causal=win, q_segids=seg1, kv_segids=kseg,
                             q_pos=pos[half:] if kpos is not None else None,
                             kv_pos=kpos, **extras)
             b_dq, b_dk, b_dv = block_bwd(
@@ -161,7 +167,7 @@ def _bwd(q, k, v, segids, pos, out, lse, dout, scale, axis_name, backend,
 def zigzag_ring_attention_varlen(q, k, v, segids, positions, *, scale,
                                  axis_name, backend=None, softcap=None,
                                  alibi_slopes=None, dropout_p=None,
-                                 dropout_seed=None):
+                                 dropout_seed=None, window_left=None):
     """Differentiable zigzag varlen ring attention (grouped layout).
 
     segids/positions: (T_local,) int32 per ops.varlen.zigzag_varlen_info.
@@ -169,7 +175,7 @@ def zigzag_ring_attention_varlen(q, k, v, segids, positions, *, scale,
     """
 
     base = dict(softcap=softcap, alibi_slopes=alibi_slopes,
-                dropout_p=dropout_p)
+                dropout_p=dropout_p, window_left=window_left)
     seed = jnp.asarray(
         0 if dropout_seed is None else dropout_seed, jnp.int32
     )

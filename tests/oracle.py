@@ -10,7 +10,8 @@ import jax
 import jax.numpy as jnp
 
 
-def full_attention(q, k, v, scale, causal=False, segids=None, positions=None):
+def full_attention(q, k, v, scale, causal=False, segids=None, positions=None,
+                   window_left=None):
     """q (B,Hq,S,D), k/v (B,Hkv,S,D) -> out (B,Hq,S,D), via plain softmax."""
     b, hq, s, d = q.shape
     hkv = k.shape[1]
@@ -24,6 +25,8 @@ def full_attention(q, k, v, scale, causal=False, segids=None, positions=None):
         if positions is None:
             positions = jnp.arange(s)
         allowed &= positions[:, None] >= positions[None, :]
+        if window_left is not None:
+            allowed &= (positions[:, None] - positions[None, :]) <= window_left
     if segids is not None:
         allowed &= segids[:, None] == segids[None, :]
     logits = jnp.where(allowed, logits, -jnp.inf)

@@ -228,11 +228,12 @@ def test_llama3_prepare_cu_seqlens_consistency():
 def test_unsupported_kwargs_raise(data):
     q, k, v = data
     with pytest.raises(NotImplementedError):
-        # windows are not supported on the varlen paths
+        # windows require causal=True (varlen windows themselves are now
+        # supported — an extension over reference README.md:159)
         rfa.flash_attn_varlen_func(
             q.reshape(-1, HQ, D), k.reshape(-1, HKV, D),
             v.reshape(-1, HKV, D), jnp.asarray([0, q.shape[1]]),
-            causal=True, window_size=(64, 0),
+            causal=False, window_size=(64, 0),
         )
     with pytest.raises(NotImplementedError):
         # only causal (left, 0) windows exist; bidirectional ones don't

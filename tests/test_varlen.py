@@ -220,3 +220,122 @@ def test_llama3_varlen_api_func(mesh, data):
 
     out, _ = jax.jit(f)(q, k, v, seg_all)
     assert jnp.max(jnp.abs(out - _oracle(q, k, v, True))) < 2e-5
+
+
+# ---------------------------------------------------------------------------
+# Varlen sliding windows — an EXTENSION (the reference documents varlen
+# windows as unsupported, reference README.md:159)
+# ---------------------------------------------------------------------------
+
+VWIN = 40  # < S/W = 64, so off-diagonal ring steps are partially windowed
+
+
+def _oracle_win(q, k, v):
+    return full_attention(
+        q, k, v, D**-0.5, causal=True, segids=jnp.asarray(SEGIDS),
+        window_left=VWIN,
+    )
+
+
+@pytest.mark.parametrize("kind", ["ring", "zigzag"])
+def test_varlen_window(mesh, data, kind):
+    q, k, v, dout = data
+    t_local = S // W
+    if kind == "ring":
+        tolocal = _tolocal(V.extract_local_ring_varlen)
+        restore = _restore_ring
+        cu = jnp.asarray(CU // W, jnp.int32)
+        infos = [V.ring_varlen_info(cu, t_local, r) for r in range(W)]
+        sched = lambda q, k, v, seg, pos: ring_attention_varlen(
+            q, k, v, seg, pos, scale=D**-0.5, causal=True, axis_name="sp",
+            window_left=VWIN,
+        )
+    else:
+        tolocal = _tolocal(V.extract_local_zigzag_varlen)
+        restore = _restore_zigzag
+        cu = jnp.asarray(CU // (2 * W), jnp.int32)
+        infos = [V.zigzag_varlen_info(cu, t_local, r, W) for r in range(W)]
+        sched = lambda q, k, v, seg, pos: zigzag_ring_attention_varlen(
+            q, k, v, seg, pos, scale=D**-0.5, axis_name="sp",
+            window_left=VWIN,
+        )
+    ql, kl, vl, doutl = map(tolocal, (q, k, v, dout))
+    seg = jnp.concatenate([i[0] for i in infos])
+    pos = jnp.concatenate([i[1] for i in infos])
+
+    @partial(shard_map, mesh=mesh,
+             in_specs=(P(None, None, "sp", None),) * 3 + (P("sp"), P("sp")),
+             out_specs=(P(None, None, "sp", None), P(None, None, "sp")),
+             check_vma=False)
+    def f(q, k, v, seg, pos):
+        return sched(q, k, v, seg, pos)
+
+    out, _ = jax.jit(f)(ql, kl, vl, seg, pos)
+    assert jnp.max(jnp.abs(restore(out) - _oracle_win(q, k, v))) < 2e-5
+
+    g1 = jax.jit(jax.grad(
+        lambda q, k, v, s_, p_: jnp.sum(f(q, k, v, s_, p_)[0] * doutl),
+        (0, 1, 2)))(ql, kl, vl, seg, pos)
+    g2 = jax.grad(
+        lambda q, k, v: jnp.sum(_oracle_win(q, k, v) * dout), (0, 1, 2)
+    )(q, k, v)
+    for a, b in zip(g1, g2):
+        assert jnp.max(jnp.abs(restore(a) - b)) < 1e-4
+
+
+def test_llama3_varlen_window(mesh, data):
+    """llama3 CP with a sliding window: global-position distance equals
+    within-sequence distance inside a packed segment."""
+    from ring_flash_attn_tpu.parallel.llama3 import llama3_attention
+
+    q, k, v, dout = data
+    l = S // W
+    per_rank_seg = []
+    for r in range(W):
+        cu_q, cu_k, _, _, k_slice = rfa.llama3_flash_attn_prepare_cu_seqlens(
+            CU, True, r, W
+        )
+        seg_local = np.searchsorted(cu_q, np.arange(l), side="right") - 1
+        per_rank_seg.append(k_slice.start + cu_k[seg_local])
+    seg_all = jnp.asarray(np.concatenate(per_rank_seg), jnp.int32)
+
+    @partial(shard_map, mesh=mesh,
+             in_specs=(P(None, None, "sp", None),) * 3 + (P("sp"),),
+             out_specs=(P(None, None, "sp", None), P(None, None, "sp")),
+             check_vma=False)
+    def f(q, k, v, seg):
+        return llama3_attention(
+            q, k, v, seg, scale=D**-0.5, causal=True, heads_k_stride=1,
+            axis_name="sp", window_left=VWIN,
+        )
+
+    out, _ = jax.jit(f)(q, k, v, seg_all)
+    assert jnp.max(jnp.abs(out - _oracle_win(q, k, v))) < 2e-5
+
+    g1 = jax.jit(jax.grad(
+        lambda q, k, v, s_: jnp.sum(f(q, k, v, s_)[0] * dout),
+        (0, 1, 2)))(q, k, v, seg_all)
+    g2 = jax.grad(
+        lambda q, k, v: jnp.sum(_oracle_win(q, k, v) * dout), (0, 1, 2)
+    )(q, k, v)
+    for a, b in zip(g1, g2):
+        assert jnp.max(jnp.abs(a - b)) < 1e-4
+
+
+def test_varlen_window_api(mesh, data):
+    """window_size=(left, 0) through the public varlen func."""
+    q, k, v, _ = data
+    tolocal = _tolocal(V.extract_local_ring_varlen)
+    ql, kl, vl = (tolocal(x)[0].transpose(1, 0, 2) for x in (q, k, v))
+    cu_local = jnp.asarray(CU // W, jnp.int32)
+
+    @partial(shard_map, mesh=mesh, in_specs=(P("sp"), P("sp"), P("sp")),
+             out_specs=P("sp"), check_vma=False)
+    def f(q, k, v):
+        return rfa.ring_flash_attn_varlen_func(
+            q, k, v, cu_local, causal=True, window_size=(VWIN, 0), group="sp"
+        )
+
+    out = jax.jit(f)(ql, kl, vl)
+    out4 = out.transpose(1, 0, 2)[None]
+    assert jnp.max(jnp.abs(_restore_ring(out4) - _oracle_win(q, k, v))) < 2e-5

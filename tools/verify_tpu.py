@@ -1,0 +1,227 @@
+"""Hardware-asserted correctness gate: Pallas (Mosaic-compiled) vs XLA on
+the real TPU chip, at production block sizes.
+
+The reference's entire test methodology runs asserted comparisons on real
+devices (reference test/test.sh:1-25, 8-GPU torchrun). The CPU-mesh pytest
+suite here asserts numerics via the XLA twin and Pallas *interpret* mode,
+which is blind to Mosaic-only behavior (triangular scalar-prefetch grids at
+1024 blocks, clamped KV index maps, SMEM slopes, dynamic-slice output
+accumulation). This script closes that gap: run it on a chip; it exits
+non-zero on any tolerance failure.
+
+Usage:  PYTHONPATH=/root/.axon_site:/root/repo python tools/verify_tpu.py
+        [--quick]   (smaller shape, fewer cases)
+
+Covers fwd+bwd (both the fused and split backward kernels) over the full
+mask matrix: causal/offset/traced-offset/segments/positions/window/alibi/
+softcap/dropout, GQA, Sq != Skv — plus a world=1 shard_map zigzag step so
+the schedule<->kernel seam runs Mosaic-compiled at least once.
+"""
+
+import argparse
+import sys
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, ".")
+
+from ring_flash_attn_tpu.ops.mask import MaskArgs  # noqa: E402
+from ring_flash_attn_tpu.ops.naive import (  # noqa: E402
+    naive_block_fwd,
+    naive_block_bwd,
+)
+from ring_flash_attn_tpu.ops.pallas_fwd import pallas_block_fwd  # noqa: E402
+from ring_flash_attn_tpu.ops.pallas_bwd import pallas_block_bwd  # noqa: E402
+from ring_flash_attn_tpu.ops.flash import compute_delta  # noqa: E402
+
+# bf16 inputs, fp32 accumulation on both sides: the remaining difference is
+# Mosaic-vs-XLA elementwise transcendental rounding, empirically < 1e-2 abs
+# on out and < 5e-2 on gradients at these magnitudes.
+TOL_OUT = 2e-2
+TOL_LSE = 2e-3
+TOL_GRAD = 6e-2
+
+FAILURES = []
+
+
+def _report(name, what, err, tol):
+    status = "ok  " if err < tol else "FAIL"
+    print(f"  {status} {name:34s} {what:4s} max|diff| {err:9.3e} (tol {tol})")
+    if err >= tol:
+        FAILURES.append((name, what, err, tol))
+
+
+def check_case(name, mask, *, b=1, hq=8, hkv=2, sq=8192, skv=8192, d=128,
+               fused_modes=(True, False)):
+    ks = jax.random.split(jax.random.PRNGKey(0), 4)
+    q = jax.random.normal(ks[0], (b, hq, sq, d), jnp.bfloat16)
+    k = jax.random.normal(ks[1], (b, hkv, skv, d), jnp.bfloat16)
+    v = jax.random.normal(ks[2], (b, hkv, skv, d), jnp.bfloat16)
+    dout = jax.random.normal(ks[3], (b, hq, sq, d), jnp.bfloat16)
+    scale = d**-0.5
+
+    ref_out, ref_lse = jax.jit(
+        lambda q, k, v: naive_block_fwd(q, k, v, scale, mask)
+    )(q, k, v)
+    got_out, got_lse = jax.jit(
+        lambda q, k, v: pallas_block_fwd(q, k, v, scale, mask)
+    )(q, k, v)
+    _report(name, "out", float(jnp.max(jnp.abs(got_out - ref_out))), TOL_OUT)
+    finite = ref_lse > -1e29  # dead rows carry the NEG_INF sentinel
+    _report(
+        name, "lse",
+        float(jnp.max(jnp.abs(jnp.where(finite, got_lse - ref_lse, 0.0)))),
+        TOL_LSE,
+    )
+
+    delta = compute_delta(dout, ref_out)
+    ref_g = jax.jit(
+        lambda: naive_block_bwd(dout, q, k, v, ref_lse, delta, scale, mask)
+    )()
+    for fused in fused_modes:
+        tag = f"{name}[{'fused' if fused else 'split'}]"
+        got_g = jax.jit(
+            lambda: pallas_block_bwd(
+                dout, q, k, v, ref_lse, delta, scale, mask, fused=fused
+            )
+        )()
+        for gname, a, b_ in zip(("dq", "dk", "dv"), got_g, ref_g):
+            _report(tag, gname, float(jnp.max(jnp.abs(a - b_))), TOL_GRAD)
+
+
+def check_schedule_w1(sq=4096, d=128):
+    """World=1 shard_map zigzag step: the schedule->kernel seam (traced
+    offsets through mask_info, step pruning) Mosaic-compiled."""
+    from jax.sharding import Mesh, PartitionSpec as P
+    from jax.experimental.shard_map import shard_map
+    from ring_flash_attn_tpu.parallel.zigzag import zigzag_ring_attention
+    from ring_flash_attn_tpu.ops.flash import flash_attention
+
+    b, h = 1, 4
+    ks = jax.random.split(jax.random.PRNGKey(1), 4)
+    q = jax.random.normal(ks[0], (b, h, sq, d), jnp.bfloat16)
+    k = jax.random.normal(ks[1], (b, h, sq, d), jnp.bfloat16)
+    v = jax.random.normal(ks[2], (b, h, sq, d), jnp.bfloat16)
+    dout = jax.random.normal(ks[3], (b, h, sq, d), jnp.bfloat16)
+    scale = d**-0.5
+    mesh = Mesh(np.array(jax.devices()[:1]), ("sp",))
+
+    def step(q, k, v):
+        def loss(q, k, v):
+            o, _ = zigzag_ring_attention(
+                q, k, v, scale=scale, axis_name="sp", backend="pallas"
+            )
+            return jnp.sum(o.astype(jnp.float32) * dout.astype(jnp.float32))
+
+        return jax.grad(loss, (0, 1, 2))(q, k, v)
+
+    sharded = jax.jit(
+        shard_map(
+            step, mesh=mesh,
+            in_specs=(P(None, None, "sp"), P(None, None, "sp"),
+                      P(None, None, "sp")),
+            out_specs=(P(None, None, "sp"),) * 3,
+            check_vma=False,
+        )
+    )
+    got = sharded(q, k, v)
+
+    def ref_loss(q, k, v):
+        o, _ = flash_attention(
+            q, k, v, scale, MaskArgs(causal=True), backend="pallas"
+        )
+        return jnp.sum(o.astype(jnp.float32) * dout.astype(jnp.float32))
+
+    ref = jax.jit(jax.grad(ref_loss, (0, 1, 2)))(q, k, v)
+    for gname, a, b_ in zip(("dq", "dk", "dv"), got, ref):
+        _report(
+            "zigzag-w1-shardmap", gname,
+            float(jnp.max(jnp.abs(a.astype(jnp.float32)
+                                  - b_.astype(jnp.float32)))),
+            TOL_GRAD,
+        )
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--quick", action="store_true")
+    args = ap.parse_args()
+
+    dev = jax.devices()[0]
+    print(f"device: {dev.platform} / {dev.device_kind}")
+    if dev.platform == "cpu":
+        print("WARNING: running on CPU — this gate is meant for a TPU chip")
+
+    if args.quick:
+        shape = dict(sq=2048, skv=2048)
+    else:
+        shape = dict(sq=8192, skv=8192)
+
+    segs = np.repeat(np.arange(4), shape["sq"] // 4).astype(np.int32)
+    ksegs = np.repeat(np.arange(4), shape["skv"] // 4).astype(np.int32)
+    pos = np.concatenate(
+        [np.arange(shape["sq"] // 2)] * 2
+    ).astype(np.int32)
+    slopes = np.geomspace(1.0, 1 / 256, 8).astype(np.float32)
+
+    check_case("noncausal", MaskArgs(), **shape)
+    check_case("causal", MaskArgs(causal=True), **shape)
+    check_case("causal-offset", MaskArgs(causal=True, offset=1024), **shape)
+    check_case("stripe-offset", MaskArgs(causal=True, offset=-1), **shape)
+    check_case(
+        "traced-offset",
+        MaskArgs(causal=True, offset=jnp.int32(1024), kv_offset=jnp.int32(0)),
+        **shape,
+    )
+    check_case(
+        "segments",
+        MaskArgs(q_segids=jnp.asarray(segs), kv_segids=jnp.asarray(ksegs)),
+        **shape,
+    )
+    check_case(
+        "causal-segments",
+        MaskArgs(causal=True, q_segids=jnp.asarray(segs),
+                 kv_segids=jnp.asarray(ksegs)),
+        **shape,
+    )
+    check_case(
+        "positions",
+        MaskArgs(causal=True, q_pos=jnp.asarray(pos),
+                 kv_pos=jnp.asarray(pos),
+                 q_segids=jnp.asarray(segs), kv_segids=jnp.asarray(ksegs)),
+        **shape,
+    )
+    check_case(
+        "window", MaskArgs(causal=True, window_left=1500), **shape
+    )
+    check_case("softcap", MaskArgs(causal=True, softcap=30.0), **shape)
+    check_case(
+        "alibi", MaskArgs(causal=True, alibi_slopes=jnp.asarray(slopes)),
+        **shape,
+    )
+    check_case(
+        "dropout",
+        MaskArgs(causal=True, dropout_p=0.1, dropout_seed=17),
+        **shape,
+    )
+    check_case(
+        "sq!=skv",
+        MaskArgs(causal=True, offset=shape["skv"] // 2),
+        sq=shape["sq"] // 2, skv=shape["skv"], d=128,
+    )
+    if not args.quick:
+        check_schedule_w1()
+
+    if FAILURES:
+        print(f"\n{len(FAILURES)} FAILURES:")
+        for f in FAILURES:
+            print("  ", f)
+        sys.exit(1)
+    print("\nALL PASS (hardware gate)")
+
+
+if __name__ == "__main__":
+    main()
