@@ -24,8 +24,10 @@ module instead runs the ENTIRE ring inside one pallas_call per device:
   clobber KV another rank is still computing on, even if ranks drift a
   full sub-problem apart.
 
-Forward-only (training backward still runs the schedule-level dual ring;
-this kernel targets inference prefill and fwd-heavy evaluation). Causal
+The backward pass runs the schedule-level dual ring via custom_vjp (the
+in-kernel fused path is forward; fwd-heavy workloads — inference prefill,
+evaluation — get the full benefit, training gets a correct gradient).
+Causal
 uses the same step<=rank skipping as the reference (ring_flash_attn.py:30)
 — the rotation DMA still runs on skipped steps to keep the ring alive.
 
@@ -56,8 +58,9 @@ def _fused_ring_fwd_kernel(
     lse_ref,  # (1, group, L, 1) f32
     comm,  # VMEM (2, 2, L, D) [slot, k/v]
     acc,  # VMEM (group, L, D) f32
-    m_s,  # VMEM (group, L, 128) f32
-    l_s,  # VMEM (group, L, 128) f32
+    stats,  # VMEM (group, L, 128) f32: lane 0 = m, lane 1 = l (one array
+            # instead of two: VMEM tiles are 128 lanes wide regardless, so
+            # packing the two single-lane stats halves the allocation)
     send_sem,  # DMA (2,)
     recv_sem,  # DMA (2,)
     ack_buf,  # VMEM (2, 8, 128) int32 credit-ack payload (content unused)
@@ -76,8 +79,8 @@ def _fused_ring_fwd_kernel(
     prv = jax.lax.rem(rank - 1 + world, world)
 
     for g in range(group):
-        m_s[g] = jnp.full_like(m_s[g], NEG_INF)
-        l_s[g] = jnp.zeros_like(l_s[g])
+        stats[g, :, 0:1] = jnp.full((l_local, 1), NEG_INF, jnp.float32)
+        stats[g, :, 1:2] = jnp.zeros((l_local, 1), jnp.float32)
         acc[g] = jnp.zeros_like(acc[g])
 
     n_qb = l_local // blk_q
@@ -103,11 +106,11 @@ def _fused_ring_fwd_kernel(
                         jnp.int32, (1, l_local), 1)
                     s = jnp.where(rows >= cols, s, NEG_INF)
                 row = slice(qb * blk_q, (qb + 1) * blk_q)
-                m_prev = m_s[g, row, :1]
+                m_prev = stats[g, row, 0:1]
                 m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
                 alpha = jnp.exp2(m_prev - m_new)
                 pr = jnp.exp2(s - m_new)
-                l_s[g, row, :1] = l_s[g, row, :1] * alpha + jnp.sum(
+                stats[g, row, 1:2] = stats[g, row, 1:2] * alpha + jnp.sum(
                     pr, axis=1, keepdims=True
                 )
                 acc[g, row, :] = acc[g, row, :] * alpha + jax.lax.dot_general(
@@ -115,7 +118,7 @@ def _fused_ring_fwd_kernel(
                     dimension_numbers=(((1,), (0,)), ((), ())),
                     preferred_element_type=jnp.float32,
                 )
-                m_s[g, row, :1] = m_new
+                stats[g, row, 0:1] = m_new
 
     def _send(src_k, src_v, slot):
         """RDMA the resident kv into the next rank's comm[slot]."""
@@ -215,27 +218,21 @@ def _fused_ring_fwd_kernel(
 
     # normalize once at the very end — no per-step out/lse HBM traffic
     for g in range(group):
-        l = l_s[g, :, :1]
-        dead = jnp.logical_or(l == 0.0, m_s[g, :, :1] <= NEG_INF / 2)
+        l = stats[g, :, 1:2]
+        m = stats[g, :, 0:1]
+        dead = jnp.logical_or(l == 0.0, m <= NEG_INF / 2)
         l_safe = jnp.where(l == 0.0, 1.0, l)
         out_ref[0, g] = jnp.where(dead, 0.0, acc[g] / l_safe).astype(
             out_ref.dtype
         )
         lse_ref[0, g] = jnp.where(
-            dead, NEG_INF,
-            (m_s[g, :, :1] + jnp.log2(l_safe)) * jnp.float32(_LN2),
+            dead, NEG_INF, (m + jnp.log2(l_safe)) * jnp.float32(_LN2),
         )
 
 
-def fused_ring_attention(q, k, v, *, scale, causal, axis_name,
-                         blk_q=None, interpret=False):
-    """Fused-ring forward on per-shard (B, Hq, L, D) tensors (contiguous
-    sequence sharding, same layout as parallel.ring). Call inside shard_map
-    over a 1-D ring axis. Returns (out in q.dtype, lse f32 (B, Hq, L)).
-
-    Forward-only. The per-(batch, kv-head) working set must fit VMEM —
-    asserted below; fall back to parallel.ring.ring_attention beyond it.
-    """
+def _fused_ring_forward(q, k, v, *, scale, causal, axis_name,
+                        blk_q=None, interpret=False, collective_id=7):
+    """Non-differentiable fused-ring forward (see fused_ring_attention)."""
     b, hq, l_local, d_ = q.shape
     _, hkv, _, _ = k.shape
     assert hq % hkv == 0
@@ -245,13 +242,19 @@ def fused_ring_attention(q, k, v, *, scale, causal, axis_name,
     blk_q = blk_q or min(DEFAULT_BLOCK_Q, l_local)
     assert l_local % blk_q == 0, (l_local, blk_q)
 
+    # Whole working set per (batch, kv-head) grid step. Mosaic's default
+    # scoped-vmem budget is 16MB; we raise it via vmem_limit_bytes below,
+    # so the gate is the physical VMEM (128MB on v5e) minus pipeline slack.
+    # The headline shape (L=8192, group=4, D=128, bf16) needs ~76MB.
     vmem = (
-        group * l_local * d_ * q.dtype.itemsize  # q
+        group * l_local * d_ * q.dtype.itemsize  # q resident
         + 6 * l_local * d_ * k.dtype.itemsize  # kv in + 2-slot double comm
-        + group * l_local * d_ * 4  # acc
-        + 2 * group * l_local * 128 * 4  # m, l
+        + group * l_local * d_ * 4  # acc f32
+        + group * l_local * 128 * 4  # packed m/l stats (128-lane tiles)
+        + group * l_local * d_ * q.dtype.itemsize  # out block
+        + group * l_local * 128 * 4  # lse out block (single-lane, padded)
     )
-    assert vmem < 12 * 1024 * 1024, (
+    assert vmem < 100 * 1024 * 1024, (
         f"fused ring working set {vmem / 1e6:.1f}MB exceeds VMEM; use "
         "parallel.ring.ring_attention for this shape"
     )
@@ -296,7 +299,6 @@ def fused_ring_attention(q, k, v, *, scale, causal, axis_name,
             pltpu.VMEM((2, 2, l_local, d_), k.dtype),
             pltpu.VMEM((group, l_local, d_), jnp.float32),
             pltpu.VMEM((group, l_local, 128), jnp.float32),
-            pltpu.VMEM((group, l_local, 128), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.VMEM((2, 8, 128), jnp.int32),
@@ -305,8 +307,57 @@ def fused_ring_attention(q, k, v, *, scale, causal, axis_name,
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
-            collective_id=7,
+            collective_id=collective_id,
+            vmem_limit_bytes=115 * 1024 * 1024,
         ),
         interpret=interpret,
     )(qs, k, v)
     return out, lse.squeeze(-1)
+
+
+def fused_ring_attention(q, k, v, *, scale, causal, axis_name,
+                         blk_q=None, interpret=False, collective_id=7,
+                         bwd_backend=None):
+    """Differentiable fused-ring attention on per-shard (B, Hq, L, D)
+    tensors (contiguous sequence sharding, same layout as parallel.ring).
+    Call inside shard_map over a 1-D ring axis. Returns
+    (out in q.dtype, lse f32 (B, Hq, L)).
+
+    Forward runs the in-kernel RDMA ring; backward falls back to the
+    schedule-level dual ring (parallel.ring._ring_bwd) — numerically the
+    same gradient path ring_attention uses. collective_id must be unique
+    among concurrently-launched collective Pallas kernels in one program
+    (XLA requirement); override it when composing with others.
+
+    The per-(batch, kv-head) working set must fit VMEM — asserted in
+    _fused_ring_forward; fall back to parallel.ring.ring_attention beyond
+    it (the headline 8k-tokens/chip shape fits).
+    """
+
+    @jax.custom_vjp
+    def f(q, k, v):
+        return _fused_ring_forward(
+            q, k, v, scale=scale, causal=causal, axis_name=axis_name,
+            blk_q=blk_q, interpret=interpret, collective_id=collective_id,
+        )
+
+    def f_fwd(q, k, v):
+        out, lse = f(q, k, v)
+        return (out, lse), (q, k, v, out, lse)
+
+    def f_bwd(res, grads):
+        from .ring import _ring_bwd
+
+        q, k, v, out, lse = res
+        dout, _ = grads
+        backend = (
+            "pallas_interpret" if (interpret and bwd_backend is None)
+            else bwd_backend
+        )
+        dq, dk, dv = _ring_bwd(
+            q, k, v, out, lse, dout, scale, causal, axis_name, backend, {},
+        )
+        return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)
+
+    f.defvjp(f_fwd, f_bwd)
+    return f(q, k, v)
