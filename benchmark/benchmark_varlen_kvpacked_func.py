@@ -38,7 +38,10 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--fwd-only", action="store_true")
     args = ap.parse_args()
+    run(len(jax.devices()), args.fwd_only)
 
+
+def run(world, fwd_only):
     from jax import shard_map
     from jax.sharding import Mesh, PartitionSpec as P
 
@@ -52,7 +55,6 @@ def main():
         zigzag_ring_attention_varlen,
     )
 
-    world = len(jax.devices())
     if world < 2:
         print("varlen ring benchmarks need >= 2 chips; skipping")
         return
@@ -95,9 +97,10 @@ def main():
         jnp.concatenate(seg), jnp.concatenate(pos),
     )
     segids_g = np.searchsorted(cu_g, np.arange(s_g), side="right") - 1
-    variants["llama3 (stride=4)"] = (
+    stride = min(4, HKV)  # reference benches heads_k_stride=4 (:132)
+    variants[f"llama3 (stride={stride})"] = (
         lambda q_, k_, v_, s_, p_: llama3_attention(
-            q_, k_, v_, s_, scale=SCALE, causal=True, heads_k_stride=4,
+            q_, k_, v_, s_, scale=SCALE, causal=True, heads_k_stride=stride,
             axis_name="sp",
         ),
         jnp.asarray(cu_g[segids_g], jnp.int32),
@@ -113,7 +116,7 @@ def main():
             o, _ = fn(q_, k_, v_, s_, p_)
             return o
 
-        if args.fwd_only:
+        if fwd_only:
             f = jax.jit(lambda q_: attn(q_, k, v, seg_all, pos_all).astype(
                 jnp.bfloat16))
         else:

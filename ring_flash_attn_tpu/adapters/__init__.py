@@ -1,5 +1,6 @@
 from .adapter import (
     DATA_PARAMS,
+    current_ring_params,
     ring_attention_forward,
     substitute_hf_flash_attn,
     update_ring_flash_attn_params,
@@ -8,6 +9,7 @@ from .adapter import (
 
 __all__ = [
     "DATA_PARAMS",
+    "current_ring_params",
     "ring_attention_forward",
     "substitute_hf_flash_attn",
     "update_ring_flash_attn_params",

@@ -24,6 +24,7 @@ shard_map over the context-parallel axis with global position_ids per shard.
 """
 
 import importlib
+import warnings
 
 import jax.numpy as jnp
 import numpy as np
@@ -64,21 +65,41 @@ def update_ring_flash_attn_params(cu_seqlens, group=None):
     )
 
 
+def current_ring_params():
+    """The current batch's metadata as a pytree of traced-safe arrays.
+
+    jit-caching caveat: `ring_attention_forward`'s implicit DATA_PARAMS
+    fallback bakes the segment labels into the trace as a CONSTANT — a
+    later `update_ring_flash_attn_params` with a different packing of the
+    same shape would silently reuse the stale constants under a cached
+    jit. Thread this pytree through your jitted step's arguments and pass
+    it as `global_segids=` instead; it is then a traced input and every
+    batch's packing flows through the cached executable correctly."""
+    return {"global_segids": DATA_PARAMS["global_segids"]}
+
+
 def ring_attention_forward(q, k, v, causal=True, softmax_scale=None,
                            heads_k_stride=None, group=None,
                            position_ids=None, softcap=0.0,
-                           alibi_slopes=None):
+                           alibi_slopes=None, global_segids=None):
     """Attention override: (B, S_local, H, D) in/out, packed batch_size == 1
     when ring is on (the reference enforces the same, hf_adapter.py:145-147).
     Must run inside shard_map over the context-parallel axis.
 
-    Segment labels come from `position_ids` when given (packed batches reset
-    positions at each sequence start, so a token's sequence label is its
-    global packed index minus its within-sequence position — fully traced,
-    immune to stale jit constants), else from the DATA_PARAMS metadata set
-    by update_ring_flash_attn_params."""
+    Segment labels, in preference order:
+    1. `position_ids` (packed batches reset positions at each sequence
+       start, so a token's sequence label is its global packed index minus
+       its within-sequence position) — fully traced, immune to stale jit
+       constants; what the HF patch uses.
+    2. `global_segids` — the `current_ring_params()` pytree threaded
+       through the caller's jitted arguments; also fully traced.
+    3. The implicit DATA_PARAMS fallback: correct eagerly or on first
+       trace, but BAKED AS A CONSTANT into any cached jit — a same-shape
+       different-packing batch would silently reuse stale metadata, so
+       this path warns at trace time."""
     if not _RING_ATTN_SWITCH or (
-        position_ids is None and "global_segids" not in DATA_PARAMS
+        position_ids is None and global_segids is None
+        and "global_segids" not in DATA_PARAMS
     ):
         return flash_attn_func(
             q, k, v, softmax_scale=softmax_scale, causal=causal,
@@ -103,7 +124,20 @@ def ring_attention_forward(q, k, v, causal=True, softmax_scale=None,
     if position_ids is not None:
         tok_idx = rank * l + jnp.arange(l, dtype=jnp.int32)
         seg_local = tok_idx - position_ids.reshape(-1).astype(jnp.int32)
+    elif global_segids is not None:
+        seg_local = lax.dynamic_slice(
+            jnp.asarray(global_segids, jnp.int32), (rank * l,), (l,)
+        )
     else:
+        warnings.warn(
+            "ring_attention_forward is tracing with DATA_PARAMS segment "
+            "labels baked in as constants: re-running this jitted function "
+            "after update_ring_flash_attn_params() with a different "
+            "packing of the same shape will silently use stale metadata. "
+            "Pass position_ids, or thread current_ring_params() through "
+            "your step's arguments as global_segids.",
+            stacklevel=2,
+        )
         seg_local = lax.dynamic_slice(
             DATA_PARAMS["global_segids"], (rank * l,), (l,)
         )

@@ -184,3 +184,79 @@ def test_patched_families_match_unpatched(devices8, family):
 
     out = jax.jit(sharded)(model.params, tokens, attn_mask, pos)
     assert jnp.max(jnp.abs(out - ref)) < 2e-4, float(jnp.max(jnp.abs(out - ref)))
+
+
+def _packed_oracle(q, k, v, segids, scale):
+    b, s, h, d = q.shape
+    hkv = k.shape[2]
+    g = h // hkv
+    qf = q[0].transpose(1, 0, 2).reshape(hkv, g, s, d)
+    kf = k[0].transpose(1, 0, 2)
+    logits = jnp.einsum("hgqd,hkd->hgqk", qf, kf) * scale
+    i = jnp.arange(s)
+    allowed = (i[:, None] >= i[None, :]) & (
+        segids[:, None] == segids[None, :]
+    )
+    logits = jnp.where(allowed, logits, -jnp.inf)
+    p = jax.nn.softmax(logits, axis=-1)
+    ref = jnp.einsum("hgqk,hkd->hgqd", p, v[0].transpose(1, 0, 2))
+    return ref.reshape(h, s, d).transpose(1, 0, 2)[None]
+
+
+def test_data_params_metadata_path(devices8):
+    """update_ring_flash_attn_params -> ring_attention_forward WITHOUT
+    position_ids: the reference's DATA_PARAMS flow (hf_adapter.py:32,42-62).
+    The implicit-constant trace warns; the traced global_segids argument
+    (current_ring_params) survives a cached jit across different packings
+    of the same shape."""
+    import warnings as _w
+
+    mesh = Mesh(devices8, ("sp",))
+    rfa.substitute_hf_flash_attn(process_group="sp")
+    adapter_mod.use_ring_attn(True)
+
+    B, H, HKV, D = 1, 4, 2, 32
+    q = jax.random.normal(jax.random.PRNGKey(0), (B, S, H, D), jnp.float32)
+    k = jax.random.normal(jax.random.PRNGKey(1), (B, S, HKV, D), jnp.float32)
+    v = jax.random.normal(jax.random.PRNGKey(2), (B, S, HKV, D), jnp.float32)
+    scale = D**-0.5
+
+    cu_a = np.array([0, 96, S])
+    cu_b = np.array([0, 192, S])  # same shape, different packing
+    seg_of = lambda cu: jnp.asarray(
+        np.searchsorted(cu, np.arange(S), side="right") - 1, jnp.int32
+    )
+
+    # (a) implicit DATA_PARAMS constants: correct on first trace, warns
+    rfa.update_ring_flash_attn_params(cu_a, group="sp")
+
+    @partial(shard_map, mesh=mesh, in_specs=(P(None, "sp"),) * 3,
+             out_specs=P(None, "sp"), check_vma=False)
+    def implicit(q, k, v):
+        return adapter_mod.ring_attention_forward(q, k, v, causal=True)
+
+    with _w.catch_warnings(record=True) as rec:
+        _w.simplefilter("always")
+        out = jax.jit(implicit)(q, k, v)
+    assert any("stale metadata" in str(r.message) for r in rec)
+    ref_a = _packed_oracle(q, k, v, seg_of(cu_a), scale)
+    assert jnp.max(jnp.abs(out - ref_a)) < 2e-5
+
+    # (b) traced-argument path: ONE jit cache entry serves both packings
+    @partial(shard_map, mesh=mesh,
+             in_specs=(P(None, "sp"),) * 3 + (P(),),
+             out_specs=P(None, "sp"), check_vma=False)
+    def traced(q, k, v, segids):
+        return adapter_mod.ring_attention_forward(
+            q, k, v, causal=True, global_segids=segids
+        )
+
+    jtraced = jax.jit(traced)
+    out_a = jtraced(q, k, v, rfa.current_ring_params()["global_segids"])
+    rfa.update_ring_flash_attn_params(cu_b, group="sp")
+    out_b = jtraced(q, k, v, rfa.current_ring_params()["global_segids"])
+    assert jnp.max(jnp.abs(out_a - ref_a)) < 2e-5
+    ref_b = _packed_oracle(q, k, v, seg_of(cu_b), scale)
+    assert jnp.max(jnp.abs(out_b - ref_b)) < 2e-5
+    # the two packings genuinely differ — the cache isn't masking staleness
+    assert jnp.max(jnp.abs(ref_a - ref_b)) > 1e-3
