@@ -17,14 +17,22 @@ __version__ = "0.1.0"
 from .api import *  # noqa: F401,F403
 from .api import __all__ as _api_all
 from .adapters import (  # noqa: F401
+    RingAttentionLayer,
     current_ring_params,
+    get_attention,
+    list_attention,
+    register_attention,
     substitute_hf_flash_attn,
     update_ring_flash_attn_params,
     use_ring_attn,
 )
 
 __all__ = list(_api_all) + [
+    "RingAttentionLayer",
     "current_ring_params",
+    "get_attention",
+    "list_attention",
+    "register_attention",
     "substitute_hf_flash_attn",
     "update_ring_flash_attn_params",
     "use_ring_attn",

@@ -1,3 +1,9 @@
+from .registry import (
+    RingAttentionLayer,
+    get_attention,
+    list_attention,
+    register_attention,
+)
 from .adapter import (
     DATA_PARAMS,
     current_ring_params,
@@ -9,6 +15,10 @@ from .adapter import (
 
 __all__ = [
     "DATA_PARAMS",
+    "RingAttentionLayer",
+    "get_attention",
+    "list_attention",
+    "register_attention",
     "current_ring_params",
     "ring_attention_forward",
     "substitute_hf_flash_attn",
