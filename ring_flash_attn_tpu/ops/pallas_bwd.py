@@ -527,6 +527,10 @@ def _dq(dout, qs, k, v, lse_adj, delta, mask, blk_q, blk_kv, interpret):
         out_shape=[jax.ShapeDtypeStruct((b, hq, sq, d), jnp.float32)],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=dim_semantics,
+            # headroom over Mosaic's default 16MB scoped-vmem: softcap's
+            # extra tanh intermediate tips large blocks past the default
+            # (caught by tools/verify_tpu.py on hardware)
+            vmem_limit_bytes=64 * 1024 * 1024,
         ),
         interpret=interpret,
     )(info, iq_map, ikv_map, *inputs)
@@ -651,6 +655,7 @@ def _dkv(dout, qs, k, v, lse, delta, mask, blk_q, blk_kv, interpret):
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "arbitrary"),
+            vmem_limit_bytes=64 * 1024 * 1024,
         ),
         interpret=interpret,
     )(info, g_map, iq_map, ikv_map, first_map, last_map, *inputs)

@@ -101,6 +101,7 @@ def _fwd_kernel(
     dropout_p,
     blk_q,
     blk_kv,
+    sub,
     num_kv_blocks,
 ):
     it = iter(refs)
@@ -117,6 +118,13 @@ def _fwd_kernel(
     m_s = next(it)  # (blk_q, 128) f32
     l_s = next(it)  # (blk_q, 128) f32
     acc_s = next(it)  # (blk_q, D) f32
+
+    # blk_kv is the DMA/grid macro block; the kernel iterates n_sub
+    # sub-tiles of width `sub` inside it. Larger macro blocks amortize
+    # per-grid-step bookkeeping (measured: mask-free 67.4% at 2048 vs
+    # 59.8% at 1024 on v5e) while sub-tile-granular causal skipping and
+    # masking keep the diagonal waste of small blocks.
+    n_sub = blk_kv // sub
 
     b_id = pl.program_id(0)
     h_id = pl.program_id(1)
@@ -154,58 +162,59 @@ def _fwd_kernel(
         l_s[:, :1] = jnp.zeros((blk_q, 1), jnp.float32)
         acc_s[...] = jnp.zeros_like(acc_s)
 
-    def _qp_kp():
+    def _qp_kp(t):
+        ts = slice(t * sub, (t + 1) * sub)
         if use_positions:
             qp = qpos_ref[0, :].reshape(blk_q, 1)
-            kp = kpos_ref[0, :].reshape(1, blk_kv)
+            kp = kpos_ref[0, ts].reshape(1, sub)
         else:
             qp = (
                 iq * blk_q + info_ref[0]
                 + jax.lax.broadcasted_iota(jnp.int32, (blk_q, 1), 0)
             )
             kp = (
-                ikv * blk_kv + info_ref[1]
-                + jax.lax.broadcasted_iota(jnp.int32, (1, blk_kv), 1)
+                ikv * blk_kv + t * sub + info_ref[1]
+                + jax.lax.broadcasted_iota(jnp.int32, (1, sub), 1)
             )
         return qp, kp
 
-    def _keep():
+    def _keep(t):
         """Deterministic dropout keep-mask from absolute coordinates —
         identical across block shapes, fwd/bwd kernels, backends, and ring
         steps (see ops/mask.py)."""
         from .mask import dropout_keep, dropout_row_hash, dropout_threshold
 
-        qp, kp = _qp_kp()
+        qp, kp = _qp_kp(t)
         qseg = qseg_ref[0, :].reshape(blk_q, 1) if use_segments else None
         rh = dropout_row_hash(
             qp, qseg, h_id + info_ref[3], b_id, info_ref[2]
         )
         return dropout_keep(rh, kp, dropout_threshold(dropout_p))
 
-    def _allowed():
+    def _allowed(t):
         allowed = None
         if causal:
-            qp, kp = _qp_kp()
+            qp, kp = _qp_kp(t)
             allowed = qp >= kp
             if window_left is not None:
                 allowed &= (qp - kp) <= window_left
         if use_segments:
             qs = qseg_ref[0, :].reshape(blk_q, 1)
-            ks = kseg_ref[0, :].reshape(1, blk_kv)
+            ks = kseg_ref[0, t * sub:(t + 1) * sub].reshape(1, sub)
             seg = qs == ks
             allowed = seg if allowed is None else (allowed & seg)
         return allowed
 
-    def _logits():
+    def _logits(t):
         # q arrives pre-scaled by softmax_scale. Feed the MXU its native
         # input dtype (bf16 in, f32 accumulate); casting inputs to f32 first
         # would quarter the matmul rate.
         s = jax.lax.dot_general(
             q_ref[0, 0],
-            k_ref[0, 0],
+            k_ref[0, 0, t * sub:(t + 1) * sub, :],
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )  # (blk_q, blk_kv) f32
+        )  # (blk_q, sub) f32
         if softcap:
             # Logits are in base-2 units (log2e folded into q), so the cap
             # scales the same way: cap2 * tanh(s2 / cap2) == log2e * the
@@ -213,7 +222,7 @@ def _fwd_kernel(
             cap2 = jnp.float32(softcap * _LOG2E)
             s = cap2 * jnp.tanh(s * (1.0 / cap2))
         if use_alibi:
-            qp, kp = _qp_kp()
+            qp, kp = _qp_kp(t)
             dist = (qp - kp).astype(jnp.float32)
             if not causal:
                 dist = jnp.abs(dist)
@@ -221,12 +230,15 @@ def _fwd_kernel(
             s = s - slopes_ref[h_id] * dist
         return s
 
-    def _update(s):
-        """Online-softmax state update with block logits s (blk_q, blk_kv).
+    def _update(t, masked):
+        """Online-softmax state update with sub-tile t's logits (blk_q, sub).
 
         Logits arrive in base-2 units (log2(e) folded into the q pre-scale),
         so the VPU runs native exp2 instead of exp (= exp2 + a multiply per
         element); m/l are tracked base-2 and converted at flush."""
+        s = _logits(t)
+        if masked:
+            s = jnp.where(_allowed(t), s, NEG_INF)
         m_prev = m_s[:, :1]  # (blk_q, 1)
         m_cur = jnp.max(s, axis=1, keepdims=True)
         m_new = jnp.maximum(m_prev, m_cur)
@@ -236,7 +248,7 @@ def _fwd_kernel(
         if dropout_p:
             # dropout on the (normalized-at-flush) probabilities: the l
             # statistic stays undropped, only the PV operand is masked
-            pr_v = jnp.where(_keep(), pr, 0.0) * jnp.float32(
+            pr_v = jnp.where(_keep(t), pr, 0.0) * jnp.float32(
                 1.0 / (1.0 - dropout_p)
             )
         else:
@@ -245,40 +257,45 @@ def _fwd_kernel(
         # standard trick; the fp32 row statistics keep the result accurate).
         acc_s[...] = acc_s[...] * alpha + jax.lax.dot_general(
             pr_v.astype(v_ref.dtype),
-            v_ref[0, 0],
+            v_ref[0, 0, t * sub:(t + 1) * sub, :],
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
         m_s[:, :1] = m_new
         l_s[:, :1] = l_new
 
-    if (causal and not use_positions and not use_segments
-            and window_left is None):
-        # Mask pass only on diagonal-crossing blocks; interior blocks take
-        # the mask-free path. pl.when predication (Mosaic branches poorly
-        # through lax.cond). (A window disables the fast path: interior
-        # blocks may be window-masked.)
-        on_diag = (iq * blk_q + rel) < ((ikv + 1) * blk_kv - 1)
+    for t in range(n_sub):
+        if (causal and not use_positions and not use_segments
+                and window_left is None):
+            # Mask pass only on diagonal-crossing sub-tiles; interior ones
+            # take the mask-free path. pl.when predication (Mosaic branches
+            # poorly through lax.cond). (A window disables the fast path:
+            # interior sub-tiles may be window-masked.)
+            sub_start = ikv * blk_kv + t * sub
+            sub_needed = should_compute & (
+                sub_start <= (iq + 1) * blk_q - 1 + rel
+            )
+            on_diag = (iq * blk_q + rel) < (sub_start + sub - 1)
 
-        @pl.when(should_compute & on_diag)
-        def _masked():
-            _update(jnp.where(_allowed(), _logits(), NEG_INF))
+            @pl.when(sub_needed & on_diag)
+            def _masked(t=t):
+                _update(t, True)
 
-        @pl.when(should_compute & jnp.logical_not(on_diag))
-        def _unmasked():
-            _update(_logits())
+            @pl.when(sub_needed & jnp.logical_not(on_diag))
+            def _unmasked(t=t):
+                _update(t, False)
 
-    elif causal or use_segments:
+        elif causal or use_segments:
 
-        @pl.when(should_compute)
-        def _compute():
-            _update(jnp.where(_allowed(), _logits(), NEG_INF))
+            @pl.when(should_compute)
+            def _compute(t=t):
+                _update(t, True)
 
-    else:
+        else:
 
-        @pl.when(should_compute)
-        def _compute():
-            _update(_logits())
+            @pl.when(should_compute)
+            def _compute(t=t):
+                _update(t, False)
 
     @pl.when(is_last)
     def _flush():
@@ -299,12 +316,16 @@ def _fwd_kernel(
 
 
 def pallas_block_fwd(q, k, v, scale, mask: MaskArgs, interpret=False,
-                     blk_q=None, blk_kv=None, out_dtype=None):
+                     blk_q=None, blk_kv=None, out_dtype=None, kv_sub=None):
     """q (B,Hq,Sq,D), k/v (B,Hkv,Skv,D) -> (out (B,Hq,Sq,D), lse f32 (B,Hq,Sq)).
 
     out_dtype defaults to fp32 (the merge-ready contract the schedules
     need); single-call paths pass q.dtype so the kernel writes the final
-    dtype directly, saving a full HBM round-trip for the cast."""
+    dtype directly, saving a full HBM round-trip for the cast.
+
+    blk_kv is the DMA/grid macro block; kv_sub the in-kernel sub-tile
+    width for masking/causal-skipping granularity (defaults per measured
+    v5e optima; see _fwd_kernel)."""
     b, hq, sq, d = q.shape
     _, hkv, skv, _ = k.shape
     assert hq % hkv == 0, (hq, hkv)
@@ -316,10 +337,13 @@ def pallas_block_fwd(q, k, v, scale, mask: MaskArgs, interpret=False,
     q = (q.astype(jnp.float32) * (scale * _LOG2E)).astype(q.dtype)
 
     causal = bool(mask.causal)
-    # Measured on v5e at the headline shape: causal prefers square 1024
-    # blocks; mask-free (ring-step) blocks prefer wider KV.
     blk_q = blk_q or _pick_block(sq, DEFAULT_BLOCK_Q)
-    blk_kv = blk_kv or _pick_block(skv, 1024 if causal else 2048)
+    blk_kv = blk_kv or _pick_block(skv, 2048)
+    # sub-tile: causal skipping/masking at 1024 granularity inside the
+    # 2048 macro block (measured best on v5e; see docs/DESIGN.md §7)
+    kv_sub = kv_sub or min(blk_kv, 1024)
+    while blk_kv % kv_sub:
+        kv_sub //= 2
     assert sq % blk_q == 0 and skv % blk_kv == 0, (sq, blk_q, skv, blk_kv)
     n_q = sq // blk_q
     n_kv = skv // blk_kv
@@ -439,6 +463,7 @@ def pallas_block_fwd(q, k, v, scale, mask: MaskArgs, interpret=False,
         dropout_p=mask.dropout_p,
         blk_q=blk_q,
         blk_kv=blk_kv,
+        sub=kv_sub,
         num_kv_blocks=n_kv,
     )
 
@@ -466,6 +491,9 @@ def pallas_block_fwd(q, k, v, scale, mask: MaskArgs, interpret=False,
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=dim_semantics,
+            # headroom over the default 16MB scoped-vmem for 2048 macro
+            # blocks + feature-path intermediates
+            vmem_limit_bytes=64 * 1024 * 1024,
         ),
         cost_estimate=pl.CostEstimate(
             flops=int(4 * sq * skv * hq * d * (0.5 if causal else 1.0)),
