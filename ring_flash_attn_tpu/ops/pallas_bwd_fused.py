@@ -71,6 +71,7 @@ def _bwd_fused_kernel(
     group,
     blk_q,
     blk_kv,
+    sub,
     num_kv_blocks,
     num_pairs,
     dk_rescale,
@@ -91,6 +92,12 @@ def _bwd_fused_kernel(
     dk_ref = next(it)  # (1, 1, Skv, D) f32 (resident per head)
     dv_ref = next(it)  # (1, 1, Skv, D) f32 (resident per head)
     dq_s = next(it)  # (blk_q, D) f32
+
+    # blk_kv is the DMA/grid macro block; the kernel iterates n_sub
+    # sub-tiles of width `sub` inside it (same structure as the forward
+    # kernel: grid bookkeeping amortizes at macro granularity, causal
+    # skipping/masking stays sub-tile-granular).
+    n_sub = blk_kv // sub
 
     b_id = pl.program_id(0)
     p = pl.program_id(2)
@@ -119,71 +126,72 @@ def _bwd_fused_kernel(
     def _init_qblock():
         dq_s[...] = jnp.zeros_like(dq_s)
 
-    def _qp_kp():
+    def _qp_kp(t):
         if use_positions:
             qp = qpos_ref[0, :].reshape(blk_q, 1)
-            kp = kpos_ref[0, :].reshape(1, blk_kv)
+            kp = kpos_ref[0, t * sub:(t + 1) * sub].reshape(1, sub)
         else:
             qp = (
                 iq * blk_q + info_ref[0]
                 + jax.lax.broadcasted_iota(jnp.int32, (blk_q, 1), 0)
             )
             kp = (
-                ikv * blk_kv + info_ref[1]
-                + jax.lax.broadcasted_iota(jnp.int32, (1, blk_kv), 1)
+                ikv * blk_kv + t * sub + info_ref[1]
+                + jax.lax.broadcasted_iota(jnp.int32, (1, sub), 1)
             )
         return qp, kp
 
-    def _keep():
-        qp, kp = _qp_kp()
+    def _keep(t):
+        qp, kp = _qp_kp(t)
         qseg = qseg_ref[0, :].reshape(blk_q, 1) if use_segments else None
         rh = dropout_row_hash(
             qp, qseg, h_id + info_ref[3], b_id, info_ref[2]
         )
         return dropout_keep(rh, kp, dropout_threshold(dropout_p))
 
-    def _allowed():
+    def _allowed(t):
         allowed = None
         if causal:
-            qp, kp = _qp_kp()
+            qp, kp = _qp_kp(t)
             allowed = qp >= kp
             if window_left is not None:
                 allowed &= (qp - kp) <= window_left
         if use_segments:
             qs_ = qseg_ref[0, :].reshape(blk_q, 1)
-            ks_ = kseg_ref[0, :].reshape(1, blk_kv)
+            ks_ = kseg_ref[0, t * sub:(t + 1) * sub].reshape(1, sub)
             seg = qs_ == ks_
             allowed = seg if allowed is None else (allowed & seg)
         return allowed
 
-    def _body(masked):
+    def _body(t, masked):
+        ts = slice(t * sub, (t + 1) * sub)
         s = jax.lax.dot_general(
             qs_ref[0, 0],
-            k_ref[0, 0],
+            k_ref[0, 0, ts, :],
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )  # (blk_q, blk_kv) base-2 logits
+        )  # (blk_q, sub) base-2 logits
         if softcap:
             cap2 = jnp.float32(softcap * _LOG2E)
-            t = jnp.tanh(s * (1.0 / cap2))
-            s = cap2 * t
+            tt = jnp.tanh(s * (1.0 / cap2))
+            s = cap2 * tt
         if use_alibi:
-            qp, kp = _qp_kp()
+            qp, kp = _qp_kp(t)
             dist = (qp - kp).astype(jnp.float32)
             if not causal:
                 dist = jnp.abs(dist)
             s = s - slopes_ref[h_id] * dist
         if masked:
-            s = jnp.where(_allowed(), s, NEG_INF)
+            s = jnp.where(_allowed(t), s, NEG_INF)
         pr = jnp.exp2(s - lse_ref[0, 0])  # exact probabilities
         dp = jax.lax.dot_general(
             dout_ref[0, 0],
-            vs_ref[0, 0],
+            vs_ref[0, 0, ts, :],
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # scale * dout @ v^T
         if dropout_p:
-            keep = _keep()
+            keep = _keep(t)
             inv = jnp.float32(1.0 / (1.0 - dropout_p))
             pr_v = jnp.where(keep, pr, 0.0) * inv
             dp = jnp.where(keep, dp, 0.0) * inv
@@ -191,14 +199,14 @@ def _bwd_fused_kernel(
             pr_v = pr
         ds = pr * (dp - delta_ref[0, 0])  # carries one factor of scale
         if softcap:
-            ds = ds * (1.0 - t * t)
+            ds = ds * (1.0 - tt * tt)
         dq_s[...] += jax.lax.dot_general(
             ds.astype(k_ref.dtype),
-            k_ref[0, 0],
+            k_ref[0, 0, ts, :],
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        sl = pl.ds(ikv * blk_kv, blk_kv)
+        sl = pl.ds(ikv * blk_kv + t * sub, sub)
         # lhs-transposed matmuls: Mosaic fuses the transpose into the MXU op
         dv_ref[0, 0, sl, :] += jax.lax.dot_general(
             pr_v.astype(dout_ref.dtype),
@@ -213,23 +221,28 @@ def _bwd_fused_kernel(
             preferred_element_type=jnp.float32,
         )
 
-    if (causal and not use_positions and not use_segments
-            and window_left is None):
-        on_diag = (iq * blk_q + rel) < ((ikv + 1) * blk_kv - 1)
+    for t in range(n_sub):
+        if (causal and not use_positions and not use_segments
+                and window_left is None):
+            sub_start = ikv * blk_kv + t * sub
+            sub_needed = should_compute & (
+                sub_start <= (iq + 1) * blk_q - 1 + rel
+            )
+            on_diag = (iq * blk_q + rel) < (sub_start + sub - 1)
 
-        @pl.when(should_compute & on_diag)
-        def _masked():
-            _body(True)
+            @pl.when(sub_needed & on_diag)
+            def _masked(t=t):
+                _body(t, True)
 
-        @pl.when(should_compute & jnp.logical_not(on_diag))
-        def _unmasked():
-            _body(False)
+            @pl.when(sub_needed & jnp.logical_not(on_diag))
+            def _unmasked(t=t):
+                _body(t, False)
 
-    else:
+        else:
 
-        @pl.when(should_compute)
-        def _compute():
-            _body(causal or use_segments)
+            @pl.when(should_compute)
+            def _compute(t=t):
+                _body(t, causal or use_segments)
 
     @pl.when(qlast_map_ref[p] == 1)
     def _flush_dq():
@@ -247,7 +260,7 @@ def fused_bwd_supported(skv, d):
 
 def pallas_block_bwd_fused(dout, q, k, v, lse, delta, scale,
                            mask: MaskArgs, interpret=False,
-                           blk_q=None, blk_kv=None):
+                           blk_q=None, blk_kv=None, kv_sub=None):
     """Fused block backward. Returns (dq, dk, dv) fp32; dk/dv per KV head,
     GQA group accumulated in-kernel. Same contract as pallas_block_bwd."""
     from .pallas_bwd import DEFAULT_BLOCK_Q, DEFAULT_BLOCK_KV
@@ -257,7 +270,12 @@ def pallas_block_bwd_fused(dout, q, k, v, lse, delta, scale,
     _, hkv, skv, _ = k.shape
     group = hq // hkv
     blk_q = blk_q or _pick_block(sq, DEFAULT_BLOCK_Q)
-    blk_kv = blk_kv or _pick_block(skv, DEFAULT_BLOCK_KV)
+    # 2048 macro KV blocks + 1024 sub-tiles measured best on v5e
+    # (10.75ms vs 11.03 at 1024/1024; 4096 collapses on VMEM pressure)
+    blk_kv = blk_kv or _pick_block(skv, 2048)
+    kv_sub = kv_sub or min(blk_kv, 1024)
+    while blk_kv % kv_sub:
+        kv_sub //= 2
     assert sq % blk_q == 0 and skv % blk_kv == 0, (sq, blk_q, skv, blk_kv)
     n_q, n_kv = sq // blk_q, skv // blk_kv
 
@@ -363,6 +381,7 @@ def pallas_block_bwd_fused(dout, q, k, v, lse, delta, scale,
         group=group,
         blk_q=blk_q,
         blk_kv=blk_kv,
+        sub=kv_sub,
         num_kv_blocks=n_kv,
         num_pairs=len(pairs),
         dk_rescale=_LN2 / scale,

@@ -307,7 +307,9 @@ def _fused_ring_forward(q, k, v, *, scale, causal, axis_name,
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary"),
-            collective_id=collective_id,
+            # world=1 emits no remote DMAs; Mosaic rejects collective_id
+            # for kernels without a custom barrier
+            collective_id=collective_id if world > 1 else None,
             vmem_limit_bytes=115 * 1024 * 1024,
         ),
         interpret=interpret,
