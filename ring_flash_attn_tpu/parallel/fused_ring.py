@@ -317,24 +317,382 @@ def _fused_ring_forward(q, k, v, *, scale, causal, axis_name,
     return out, lse.squeeze(-1)
 
 
+def _fused_ring_bwd_kernel(
+    qs_ref,  # (1, group, L, D) q * scale * log2e, VMEM
+    k_ref,  # (1, 1, L, D) local k shard (raw), VMEM
+    vs_ref,  # (1, 1, L, D) v * scale, VMEM
+    dout_ref,  # (1, group, L, D) VMEM
+    lse_hbm,  # (B, Hq, L, 1) f32 base-2 clamped, HBM (streamed per block)
+    delta_hbm,  # (B, Hq, L, 1) f32 delta * scale, HBM (streamed per block)
+    dq_ref,  # (1, group, L, D) f32 out (accumulated in place)
+    dk_ref,  # (1, 1, L, D) f32 out
+    dv_ref,  # (1, 1, L, D) f32 out
+    comm_kv,  # VMEM (2, 2, L, D) kv-dtype [slot, k/vs]
+    comm_dkv,  # VMEM (2, 2, L, D) f32 [slot, dk/dv] — the traveling accums
+    dk_s,  # VMEM (L, D) f32 — this step's local contributions
+    dv_s,  # VMEM (L, D) f32
+    lse_buf,  # VMEM (blk_q, 1) f32
+    delta_buf,  # VMEM (blk_q, 1) f32
+    stream_sem,  # DMA (2,)
+    kv_send_sem,  # DMA (2,)
+    kv_recv_sem,  # DMA (2,)
+    dkv_send_sem,  # DMA (2,)
+    dkv_recv_sem,  # DMA (2,)
+    kv_ack_buf,  # VMEM (2, 8, 128) int32
+    kv_ack_send,  # DMA (2,)
+    kv_ack_recv,  # DMA (2,)
+    dkv_ack_buf,  # VMEM (2, 8, 128) int32
+    dkv_ack_send,  # DMA (2,)
+    dkv_ack_recv,  # DMA (2,)
+    *,
+    axis_name,
+    world,
+    causal,
+    group,
+    l_local,
+    blk_q,
+    blk_kv,
+    dk_rescale,
+):
+    rank = jax.lax.axis_index(axis_name)
+    nxt = jax.lax.rem(rank + 1, world)
+    prv = jax.lax.rem(rank - 1 + world, world)
+    b_id = pl.program_id(0)
+    hk = pl.program_id(1)
+    n_qb = l_local // blk_q
+    n_kb = l_local // blk_kv
+
+    dq_ref[...] = jnp.zeros_like(dq_ref)
+
+    def _stream_cols(g, qb):
+        """DMA this q block's lse and delta columns from HBM."""
+        row = pl.ds(qb * blk_q, blk_q)
+        h = hk * group + g
+        c1 = pltpu.make_async_copy(
+            lse_hbm.at[b_id, h, row, :], lse_buf, stream_sem.at[0]
+        )
+        c2 = pltpu.make_async_copy(
+            delta_hbm.at[b_id, h, row, :], delta_buf, stream_sem.at[1]
+        )
+        c1.start()
+        c2.start()
+        c1.wait()
+        c2.wait()
+
+    def _compute_step(kk, vv, diagonal):
+        """Accumulate this step's dq into dq_ref and dk/dv into dk_s/dv_s
+        against the resident kv (kk raw k, vv pre-scaled v), both (L, D).
+
+        diagonal=True is step 0 (local causal): the (qb, kb) triangle is
+        STATIC here — above-diagonal kv sub-blocks are skipped at trace
+        time and only crossing sub-blocks pay the mask pass."""
+        for g in range(group):
+            for qb in range(n_qb):
+                _stream_cols(g, qb)
+                row = slice(qb * blk_q, (qb + 1) * blk_q)
+                qs_blk = qs_ref[0, g, row, :]
+                dout_blk = dout_ref[0, g, row, :]
+                for kb in range(n_kb):
+                    if diagonal and kb * blk_kv > (qb + 1) * blk_q - 1:
+                        continue  # fully above the local diagonal
+                    masked = diagonal and (
+                        qb * blk_q < (kb + 1) * blk_kv - 1
+                    )
+                    ks = slice(kb * blk_kv, (kb + 1) * blk_kv)
+                    s = jax.lax.dot_general(
+                        qs_blk, kk[ks, :],
+                        dimension_numbers=(((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )  # (blk_q, blk_kv) base-2 logits
+                    if masked:
+                        rows = jax.lax.broadcasted_iota(
+                            jnp.int32, (blk_q, 1), 0) + qb * blk_q
+                        cols = jax.lax.broadcasted_iota(
+                            jnp.int32, (1, blk_kv), 1) + kb * blk_kv
+                        s = jnp.where(rows >= cols, s, NEG_INF)
+                    pr = jnp.exp2(s - lse_buf[...])
+                    dp = jax.lax.dot_general(
+                        dout_blk, vv[ks, :],
+                        dimension_numbers=(((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )  # scale * dout @ v^T
+                    ds = pr * (dp - delta_buf[...])
+                    dq_ref[0, g, row, :] += jax.lax.dot_general(
+                        ds.astype(kk.dtype), kk[ks, :],
+                        dimension_numbers=(((1,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+                    dk_s[ks, :] += jax.lax.dot_general(
+                        ds.astype(qs_blk.dtype), qs_blk,
+                        dimension_numbers=(((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+                    dv_s[ks, :] += jax.lax.dot_general(
+                        pr.astype(dout_blk.dtype), dout_blk,
+                        dimension_numbers=(((0,), (0,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )
+
+    def _rdma(src_ref, dst_ref, send_sem, recv_sem, device_id):
+        return pltpu.make_async_remote_copy(
+            src_ref=src_ref, dst_ref=dst_ref, send_sem=send_sem,
+            recv_sem=recv_sem, device_id=device_id,
+            device_id_type=pltpu.DeviceIdType.LOGICAL,
+        )
+
+    def _ack(buf, send, recv, slot, device_id):
+        return _rdma(buf.at[slot], buf.at[slot], send.at[slot],
+                     recv.at[slot], device_id)
+
+    def _grant_kv(slot):
+        a = _ack(kv_ack_buf, kv_ack_send, kv_ack_recv, slot, prv)
+        a.start()
+        a.wait_send()
+
+    def _wait_credit_kv(slot):
+        _ack(kv_ack_buf, kv_ack_send, kv_ack_recv, slot, nxt).wait_recv()
+
+    def _grant_dkv(slot):
+        a = _ack(dkv_ack_buf, dkv_ack_send, dkv_ack_recv, slot, prv)
+        a.start()
+        a.wait_send()
+
+    def _wait_credit_dkv(slot):
+        _ack(dkv_ack_buf, dkv_ack_send, dkv_ack_recv, slot, nxt).wait_recv()
+
+    def _send_kv(src_k, src_v, slot):
+        copies = []
+        for i, src in enumerate((src_k, src_v)):
+            c = _rdma(src, comm_kv.at[slot, i], kv_send_sem.at[slot],
+                      kv_recv_sem.at[slot], nxt)
+            c.start()
+            copies.append(c)
+        return copies
+
+    def _wait_recv_kv(slot):
+        for i in range(2):
+            _rdma(comm_kv.at[slot, i], comm_kv.at[slot, i],
+                  kv_send_sem.at[slot], kv_recv_sem.at[slot],
+                  prv).wait_recv()
+
+    def _send_dkv(src_dk, src_dv, slot):
+        copies = []
+        for i, src in enumerate((src_dk, src_dv)):
+            c = _rdma(src, comm_dkv.at[slot, i], dkv_send_sem.at[slot],
+                      dkv_recv_sem.at[slot], nxt)
+            c.start()
+            copies.append(c)
+        return copies
+
+    def _wait_recv_dkv(slot):
+        for i in range(2):
+            _rdma(comm_dkv.at[slot, i], comm_dkv.at[slot, i],
+                  dkv_send_sem.at[slot], dkv_recv_sem.at[slot],
+                  prv).wait_recv()
+
+    if world == 1:
+        dk_s[...] = jnp.zeros_like(dk_s)
+        dv_s[...] = jnp.zeros_like(dv_s)
+        _compute_step(k_ref[0, 0], vs_ref[0, 0], causal)
+        dk_ref[0, 0] = dk_s[...] * jnp.float32(dk_rescale)
+        dv_ref[0, 0] = dv_s[...]
+        return
+
+    # kv credits: identical scheme to the forward kernel. dkv credits:
+    # sends happen at steps 0..W-1 targeting slot (s+1)%2; both slots are
+    # free initially, and slot s%2 is re-granted after its merge+forward at
+    # steps 1..W-2 — exact count for every W (see protocol notes below).
+    _grant_kv(1)
+    _grant_dkv(0)
+    _grant_dkv(1)
+    for step in range(world):
+        recv_slot = step % 2
+        next_slot = (step + 1) % 2
+        dk_s[...] = jnp.zeros_like(dk_s)
+        dv_s[...] = jnp.zeros_like(dv_s)
+        kv_sends = None
+        if step == 0:
+            _wait_credit_kv(next_slot)
+            kv_sends = _send_kv(k_ref.at[0, 0], vs_ref.at[0, 0], next_slot)
+            _compute_step(k_ref[0, 0], vs_ref[0, 0], causal)
+            # own-kv accumulator = just this step's contributions
+            _wait_credit_dkv(next_slot)
+            dkv_sends = _send_dkv(dk_s, dv_s, next_slot)
+            for c in dkv_sends:
+                c.wait_send()  # dk_s/dv_s are re-zeroed next step
+        else:
+            _wait_recv_kv(recv_slot)
+            if step < world - 1:
+                _wait_credit_kv(next_slot)
+                kv_sends = _send_kv(
+                    comm_kv.at[recv_slot, 0], comm_kv.at[recv_slot, 1],
+                    next_slot,
+                )
+            if causal:
+                @pl.when(step <= rank)
+                def _():
+                    _compute_step(
+                        comm_kv[recv_slot, 0], comm_kv[recv_slot, 1], False
+                    )
+            else:
+                _compute_step(
+                    comm_kv[recv_slot, 0], comm_kv[recv_slot, 1], False
+                )
+            # merge this step's contributions into the traveling
+            # accumulator (zeros if the step was causally skipped), then
+            # forward it — the in-kernel analog of the schedule's dkv
+            # co-rotation (reference ring_flash_attn.py:133-152)
+            _wait_recv_dkv(recv_slot)
+            comm_dkv[recv_slot, 0] += dk_s[...]
+            comm_dkv[recv_slot, 1] += dv_s[...]
+            _wait_credit_dkv(next_slot)
+            dkv_sends = _send_dkv(
+                comm_dkv.at[recv_slot, 0], comm_dkv.at[recv_slot, 1],
+                next_slot,
+            )
+            for c in dkv_sends:
+                c.wait_send()
+            if step <= world - 2:
+                _grant_dkv(recv_slot)
+        if kv_sends is not None:
+            for c in kv_sends:
+                c.wait_send()
+        if step <= world - 3:
+            _grant_kv(step % 2)
+
+    # after W hops the accumulator for OUR kv shard is home
+    home = world % 2
+    _wait_recv_dkv(home)
+    dk_ref[0, 0] = comm_dkv[home, 0] * jnp.float32(dk_rescale)
+    dv_ref[0, 0] = comm_dkv[home, 1]
+
+
+def _fused_ring_backward(q, k, v, dout, lse, delta, *, scale, causal,
+                         axis_name, blk_q=None, blk_kv=None,
+                         interpret=False, collective_id=8):
+    """In-kernel dual-ring backward: kv rotates forward while the dk/dv
+    accumulators co-rotate, all inside one pallas_call — the fused analog
+    of parallel.ring._ring_bwd (and of the reference's counter-rotating
+    d_kv_comm, reference ring_flash_attn.py:85-152). Returns (dq, dk, dv)
+    fp32 per-shard."""
+    b, hq, l_local, d_ = q.shape
+    _, hkv, _, _ = k.shape
+    group = hq // hkv
+    world = ring_size(axis_name)
+
+    blk_q = blk_q or min(DEFAULT_BLOCK_Q, l_local)
+    blk_kv = blk_kv or min(1024, l_local)
+    assert l_local % blk_q == 0 and l_local % blk_kv == 0
+
+    vmem = (
+        2 * group * l_local * d_ * q.dtype.itemsize  # qs + dout resident
+        + 2 * l_local * d_ * k.dtype.itemsize  # k + vs in
+        + 4 * l_local * d_ * k.dtype.itemsize  # comm_kv (2 slots x 2)
+        + 4 * l_local * d_ * 4  # comm_dkv f32
+        + 2 * l_local * d_ * 4  # dk_s/dv_s
+        + group * l_local * d_ * 4  # dq out
+        + 2 * l_local * d_ * 4  # dk/dv out
+    )
+    assert vmem < 100 * 1024 * 1024, (
+        f"fused ring bwd working set {vmem / 1e6:.1f}MB exceeds VMEM; use "
+        "the schedule-level backward for this shape"
+    )
+
+    qs = (q.astype(jnp.float32) * (scale * _LOG2E)).astype(q.dtype)
+    vsc = (v.astype(jnp.float32) * scale).astype(v.dtype)
+    lse4 = jnp.maximum(
+        lse.astype(jnp.float32) * _LOG2E, NEG_INF / 2
+    )[..., None]
+    delta4 = (delta.astype(jnp.float32) * scale)[..., None]
+
+    kernel = functools.partial(
+        _fused_ring_bwd_kernel,
+        axis_name=axis_name,
+        world=world,
+        causal=causal,
+        group=group,
+        l_local=l_local,
+        blk_q=blk_q,
+        blk_kv=blk_kv,
+        dk_rescale=_LN2 / scale,
+    )
+
+    blk4 = lambda: pl.BlockSpec(
+        (1, group, l_local, d_), lambda bi, hi: (bi, hi, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    blkkv = lambda: pl.BlockSpec(
+        (1, 1, l_local, d_), lambda bi, hi: (bi, hi, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    dq, dk, dv = pl.pallas_call(
+        kernel,
+        grid=(b, hkv),
+        in_specs=[
+            blk4(), blkkv(), blkkv(), blk4(),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+            pl.BlockSpec(memory_space=pltpu.ANY),
+        ],
+        out_specs=[blk4(), blkkv(), blkkv()],
+        out_shape=[
+            jax.ShapeDtypeStruct((b, hq, l_local, d_), jnp.float32),
+            jax.ShapeDtypeStruct((b, hkv, l_local, d_), jnp.float32),
+            jax.ShapeDtypeStruct((b, hkv, l_local, d_), jnp.float32),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((2, 2, l_local, d_), k.dtype),
+            pltpu.VMEM((2, 2, l_local, d_), jnp.float32),
+            pltpu.VMEM((l_local, d_), jnp.float32),
+            pltpu.VMEM((l_local, d_), jnp.float32),
+            pltpu.VMEM((blk_q, 1), jnp.float32),
+            pltpu.VMEM((blk_q, 1), jnp.float32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((2, 8, 128), jnp.int32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((2, 8, 128), jnp.int32),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary"),
+            collective_id=collective_id if world > 1 else None,
+            vmem_limit_bytes=115 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(qs, k, vsc, dout, lse4, delta4)
+    return dq, dk, dv
+
+
 def fused_ring_attention(q, k, v, *, scale, causal, axis_name,
                          blk_q=None, interpret=False, collective_id=7,
-                         bwd_backend=None):
+                         bwd_backend=None, bwd_mode="auto"):
     """Differentiable fused-ring attention on per-shard (B, Hq, L, D)
     tensors (contiguous sequence sharding, same layout as parallel.ring).
     Call inside shard_map over a 1-D ring axis. Returns
     (out in q.dtype, lse f32 (B, Hq, L)).
 
-    Forward runs the in-kernel RDMA ring; backward falls back to the
-    schedule-level dual ring (parallel.ring._ring_bwd) — numerically the
-    same gradient path ring_attention uses. collective_id must be unique
-    among concurrently-launched collective Pallas kernels in one program
-    (XLA requirement); override it when composing with others.
+    Forward runs the in-kernel RDMA ring. Backward (bwd_mode):
+    - "fused": the in-kernel dual ring (_fused_ring_backward) — kv and the
+      dk/dv accumulators co-rotate via RDMA inside one kernel.
+    - "schedule": the schedule-level dual ring (parallel.ring._ring_bwd),
+      numerically the gradient path ring_attention uses.
+    - "auto" (default): fused when its working set fits VMEM, else
+      schedule.
+
+    collective_id must be unique among concurrently-launched collective
+    Pallas kernels in one program (XLA requirement); the backward kernel
+    uses collective_id + 1. Override when composing with others.
 
     The per-(batch, kv-head) working set must fit VMEM — asserted in
     _fused_ring_forward; fall back to parallel.ring.ring_attention beyond
     it (the headline 8k-tokens/chip shape fits).
     """
+    from ..ops.flash import compute_delta
 
     @jax.custom_vjp
     def f(q, k, v):
@@ -352,13 +710,30 @@ def fused_ring_attention(q, k, v, *, scale, causal, axis_name,
 
         q, k, v, out, lse = res
         dout, _ = grads
-        backend = (
-            "pallas_interpret" if (interpret and bwd_backend is None)
-            else bwd_backend
-        )
-        dq, dk, dv = _ring_bwd(
-            q, k, v, out, lse, dout, scale, causal, axis_name, backend, {},
-        )
+        mode = bwd_mode
+        if mode == "auto":
+            _, hkv = q.shape[1], k.shape[1]
+            ws = (
+                (2 * q.shape[1] // k.shape[1] + 8) * k.shape[2]
+                * k.shape[3] * 4
+            )
+            mode = "fused" if ws < 100 * 1024 * 1024 else "schedule"
+        if mode == "fused":
+            delta = compute_delta(dout, out)
+            dq, dk, dv = _fused_ring_backward(
+                q, k, v, dout, lse, delta, scale=scale, causal=causal,
+                axis_name=axis_name, interpret=interpret,
+                collective_id=collective_id + 1,
+            )
+        else:
+            backend = (
+                "pallas_interpret" if (interpret and bwd_backend is None)
+                else bwd_backend
+            )
+            dq, dk, dv = _ring_bwd(
+                q, k, v, out, lse, dout, scale, causal, axis_name, backend,
+                {},
+            )
         return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)
 
     f.defvjp(f_fwd, f_bwd)

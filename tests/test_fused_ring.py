@@ -73,10 +73,15 @@ def test_fused_ring_partial_mesh_bf16(devices8, data):
     assert jnp.max(jnp.abs(out.astype(jnp.float32) - ref)) < 2e-2  # bf16
 
 
-def test_fused_ring_grad(devices8, data):
-    """jax.grad through fused_ring_attention: the custom_vjp falls back to
-    the schedule-level dual ring (round-1 advice: the export used to be
-    forward-only and grad crashed)."""
+@pytest.mark.parametrize("bwd_mode,causal", [
+    ("schedule", True), ("fused", True), ("fused", False),
+])
+def test_fused_ring_grad(devices8, data, bwd_mode, causal):
+    """jax.grad through fused_ring_attention. bwd_mode="fused" runs the
+    in-kernel dual ring (kv + dk/dv accumulators co-rotating via RDMA,
+    emulated by interpret mode); "schedule" the dual-ring fallback
+    (round-1 advice: the export used to be forward-only and grad
+    crashed)."""
     mesh = Mesh(devices8, ("sp",))
     q, k, v = data
     dout = jax.random.normal(jax.random.PRNGKey(3), (B, HQ, S, D),
@@ -86,8 +91,8 @@ def test_fused_ring_grad(devices8, data):
              out_specs=(SPEC4, SPEC3), check_vma=False)
     def sharded(q, k, v):
         return fused_ring_attention(
-            q, k, v, scale=SCALE, causal=True, axis_name="sp",
-            interpret=True,
+            q, k, v, scale=SCALE, causal=causal, axis_name="sp",
+            interpret=True, bwd_mode=bwd_mode,
         )
 
     g1 = jax.jit(jax.grad(
@@ -95,7 +100,7 @@ def test_fused_ring_grad(devices8, data):
     ))(q, k, v)
     g2 = jax.grad(
         lambda q, k, v: jnp.sum(
-            full_attention(q, k, v, SCALE, causal=True) * dout
+            full_attention(q, k, v, SCALE, causal=causal) * dout
         ), (0, 1, 2)
     )(q, k, v)
     for a, b in zip(g1, g2):
