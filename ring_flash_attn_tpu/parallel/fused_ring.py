@@ -51,16 +51,23 @@ DEFAULT_BLOCK_Q = 512
 
 
 def _fused_ring_fwd_kernel(
-    q_ref,  # (1, group, L, D) pre-scaled q, VMEM
+    q_hbm,  # (B, Hq, L, D) pre-scaled q, HBM — streamed per (g, q-block)
     k_ref,  # (1, 1, L, D) local kv shard, VMEM
     v_ref,  # (1, 1, L, D)
-    out_ref,  # (1, group, L, D)
-    lse_ref,  # (1, group, L, 1) f32
+    out_hbm,  # (B, Hq, L, D) HBM — written per (g, q-block) at the end
+    lse_ref,  # (1, group, L, 1) f32 windowed VMEM output (single-lane
+              # arrays cannot be manually DMA'd — HBM memref slices must
+              # be 128-lane aligned — but pipelined window writes are
+              # fine, as the grid kernels' lse blocks prove on hardware)
     comm,  # VMEM (2, 2, L, D) [slot, k/v]
     acc,  # VMEM (group, L, D) f32
-    stats,  # VMEM (group, L, 128) f32: lane 0 = m, lane 1 = l (one array
-            # instead of two: VMEM tiles are 128 lanes wide regardless, so
-            # packing the two single-lane stats halves the allocation)
+    stats,  # VMEM (group, L, 128) f32: lane 0 = m, lane 1 = l, lane 2 =
+            # final lse (one array instead of several: VMEM tiles are 128
+            # lanes wide regardless, so packing single-lane stats shares
+            # the allocation)
+    q_buf,  # VMEM (blk_q, D) — streamed q block
+    out_stage,  # VMEM (blk_q, D) out-dtype staging for the final DMA
+    stream_sem,  # DMA (2,)
     send_sem,  # DMA (2,)
     recv_sem,  # DMA (2,)
     ack_buf,  # VMEM (2, 8, 128) int32 credit-ack payload (content unused)
@@ -73,10 +80,13 @@ def _fused_ring_fwd_kernel(
     group,
     l_local,
     blk_q,
+    blk_kv,
 ):
     rank = jax.lax.axis_index(axis_name)
     nxt = jax.lax.rem(rank + 1, world)
     prv = jax.lax.rem(rank - 1 + world, world)
+    b_id = pl.program_id(0)
+    hk = pl.program_id(1)
 
     for g in range(group):
         stats[g, :, 0:1] = jnp.full((l_local, 1), NEG_INF, jnp.float32)
@@ -84,41 +94,77 @@ def _fused_ring_fwd_kernel(
         acc[g] = jnp.zeros_like(acc[g])
 
     n_qb = l_local // blk_q
+    n_kb = l_local // blk_kv
+    kv_dtype = k_ref.dtype
 
-    def _attend(kk, vv, diagonal):
-        """Online-softmax update of (m, l, acc) with the resident kv.
+    def _load_q(g, qb):
+        c = pltpu.make_async_copy(
+            q_hbm.at[b_id, hk * group + g, pl.ds(qb * blk_q, blk_q), :],
+            q_buf, stream_sem.at[0],
+        )
+        c.start()
+        c.wait()
 
-        diagonal=True applies the local causal mask (step 0); later steps
-        are mask-free for every rank that computes — the reference's case
+    def _attend(kk_ref, vv_ref, diagonal):
+        """Online-softmax update of (m, l, acc) with the resident kv
+        (kk_ref/vv_ref are (L, D) sub-refs — VMEM-resident shard or comm
+        slot). q blocks and KV chunks iterate via lax.fori_loop so the
+        Mosaic program stays COMPACT at production shapes (a fully
+        unrolled group x n_qb x n_kb body explodes compile time) and
+        logits intermediates stay (blk_q, blk_kv).
+
+        diagonal=True applies the local causal mask (step 0) and bounds
+        the KV chunk loop at each q block's diagonal; later steps are
+        mask-free for every rank that computes — the reference's case
         split (ring_flash_attn.py:30-39)."""
         for g in range(group):
-            for qb in range(n_qb):
-                qs = q_ref[0, g, qb * blk_q:(qb + 1) * blk_q, :]
-                s = jax.lax.dot_general(
-                    qs, kk,
-                    dimension_numbers=(((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )  # (blk_q, L) base-2 logits
+            def qb_body(qb, _, g=g):
+                row = pl.ds(qb * blk_q, blk_q)
+                _load_q(g, qb)
+                qs = q_buf[...]
                 if diagonal:
-                    rows = jax.lax.broadcasted_iota(
-                        jnp.int32, (blk_q, 1), 0) + qb * blk_q
-                    cols = jax.lax.broadcasted_iota(
-                        jnp.int32, (1, l_local), 1)
-                    s = jnp.where(rows >= cols, s, NEG_INF)
-                row = slice(qb * blk_q, (qb + 1) * blk_q)
-                m_prev = stats[g, row, 0:1]
-                m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
-                alpha = jnp.exp2(m_prev - m_new)
-                pr = jnp.exp2(s - m_new)
-                stats[g, row, 1:2] = stats[g, row, 1:2] * alpha + jnp.sum(
-                    pr, axis=1, keepdims=True
-                )
-                acc[g, row, :] = acc[g, row, :] * alpha + jax.lax.dot_general(
-                    pr.astype(vv.dtype), vv,
-                    dimension_numbers=(((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )
-                stats[g, row, 0:1] = m_new
+                    nkb = jnp.minimum(
+                        (qb * blk_q + blk_q - 1) // blk_kv + 1, n_kb
+                    )
+                else:
+                    nkb = n_kb
+
+                def kb_body(kb, _):
+                    ks = pl.ds(kb * blk_kv, blk_kv)
+                    s = jax.lax.dot_general(
+                        qs, kk_ref[ks, :],
+                        dimension_numbers=(((1,), (1,)), ((), ())),
+                        preferred_element_type=jnp.float32,
+                    )  # (blk_q, blk_kv) base-2 logits
+                    if diagonal:
+                        rows = jax.lax.broadcasted_iota(
+                            jnp.int32, (blk_q, 1), 0) + qb * blk_q
+                        cols = jax.lax.broadcasted_iota(
+                            jnp.int32, (1, blk_kv), 1) + kb * blk_kv
+                        s = jnp.where(rows >= cols, s, NEG_INF)
+                    m_prev = stats[g, row, 0:1]
+                    m_new = jnp.maximum(
+                        m_prev, jnp.max(s, axis=1, keepdims=True)
+                    )
+                    alpha = jnp.exp2(m_prev - m_new)
+                    pr = jnp.exp2(s - m_new)
+                    stats[g, row, 1:2] = stats[g, row, 1:2] * alpha + jnp.sum(
+                        pr, axis=1, keepdims=True
+                    )
+                    acc[g, row, :] = (
+                        acc[g, row, :] * alpha + jax.lax.dot_general(
+                            pr.astype(kv_dtype), vv_ref[ks, :],
+                            dimension_numbers=(((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                        )
+                    )
+                    stats[g, row, 0:1] = m_new
+                    return 0
+
+                jax.lax.fori_loop(0, nkb, kb_body, 0)
+                return 0
+
+            jax.lax.fori_loop(0, n_qb, qb_body, 0)
 
     def _send(src_k, src_v, slot):
         """RDMA the resident kv into the next rank's comm[slot]."""
@@ -173,7 +219,7 @@ def _fused_ring_fwd_kernel(
             ).wait_recv()
 
     if world == 1:
-        _attend(k_ref[0, 0], v_ref[0, 0], causal)
+        _attend(k_ref.at[0, 0], v_ref.at[0, 0], causal)
     else:
         # upstream's step-0 send targets our slot 1: grant it
         _grant(1)
@@ -186,7 +232,7 @@ def _fused_ring_fwd_kernel(
                 # hides behind the whole step's matmuls)
                 _wait_credit(next_slot)
                 sends = _send(k_ref.at[0, 0], v_ref.at[0, 0], next_slot)
-                _attend(k_ref[0, 0], v_ref[0, 0], causal)
+                _attend(k_ref.at[0, 0], v_ref.at[0, 0], causal)
             else:
                 # this step's kv must have landed (two copies: k and v)
                 _wait_recv(recv_slot)
@@ -201,10 +247,11 @@ def _fused_ring_fwd_kernel(
                     # positions iff step <= rank; skip otherwise
                     @pl.when(step <= rank)
                     def _():
-                        _attend(comm[recv_slot, 0], comm[recv_slot, 1],
-                                False)
+                        _attend(comm.at[recv_slot, 0],
+                                comm.at[recv_slot, 1], False)
                 else:
-                    _attend(comm[recv_slot, 0], comm[recv_slot, 1], False)
+                    _attend(comm.at[recv_slot, 0], comm.at[recv_slot, 1],
+                            False)
 
             if sends is not None:
                 # resident data must be fully out the door before its slot
@@ -216,22 +263,40 @@ def _fused_ring_fwd_kernel(
                 # step, now consumed): grant exactly once per consumption
                 _grant(step % 2)
 
-    # normalize once at the very end — no per-step out/lse HBM traffic
+    # normalize once at the very end (no per-step out/lse HBM traffic),
+    # staging each q block through VMEM: whole-shard windowed outputs with
+    # their 128-lane-padded lse and x2 pipeline buffering were what blew
+    # the VMEM budget at the headline shape
+    out_dtype = out_stage.dtype
     for g in range(group):
-        l = stats[g, :, 1:2]
-        m = stats[g, :, 0:1]
-        dead = jnp.logical_or(l == 0.0, m <= NEG_INF / 2)
-        l_safe = jnp.where(l == 0.0, 1.0, l)
-        out_ref[0, g] = jnp.where(dead, 0.0, acc[g] / l_safe).astype(
-            out_ref.dtype
-        )
-        lse_ref[0, g] = jnp.where(
-            dead, NEG_INF, (m + jnp.log2(l_safe)) * jnp.float32(_LN2),
-        )
+        def flush_body(qb, _, g=g):
+            row = pl.ds(qb * blk_q, blk_q)
+            lb = stats[g, row, 1:2]
+            mb = stats[g, row, 0:1]
+            dead_b = jnp.logical_or(lb == 0.0, mb <= NEG_INF / 2)
+            l_safe_b = jnp.where(lb == 0.0, 1.0, lb)
+            out_stage[...] = jnp.where(
+                dead_b, 0.0, acc[g, row, :] / l_safe_b
+            ).astype(out_dtype)
+            lse_ref[0, g, row, :] = jnp.where(
+                dead_b, NEG_INF,
+                (mb + jnp.log2(l_safe_b)) * jnp.float32(_LN2),
+            )
+            c1 = pltpu.make_async_copy(
+                out_stage,
+                out_hbm.at[b_id, hk * group + g, row, :],
+                stream_sem.at[0],
+            )
+            c1.start()
+            c1.wait()
+            return 0
+
+        jax.lax.fori_loop(0, n_qb, flush_body, 0)
 
 
 def _fused_ring_forward(q, k, v, *, scale, causal, axis_name,
-                        blk_q=None, interpret=False, collective_id=7):
+                        blk_q=None, blk_kv=None, interpret=False,
+                        collective_id=7):
     """Non-differentiable fused-ring forward (see fused_ring_attention)."""
     b, hq, l_local, d_ = q.shape
     _, hkv, _, _ = k.shape
@@ -240,21 +305,20 @@ def _fused_ring_forward(q, k, v, *, scale, causal, axis_name,
     world = ring_size(axis_name)
 
     blk_q = blk_q or min(DEFAULT_BLOCK_Q, l_local)
-    assert l_local % blk_q == 0, (l_local, blk_q)
+    blk_kv = blk_kv or min(1024, l_local)
+    assert l_local % blk_q == 0 and l_local % blk_kv == 0
 
-    # Whole working set per (batch, kv-head) grid step. Mosaic's default
-    # scoped-vmem budget is 16MB; we raise it via vmem_limit_bytes below,
-    # so the gate is the physical VMEM (128MB on v5e) minus pipeline slack.
-    # The headline shape (L=8192, group=4, D=128, bf16) needs ~76MB.
+    # Whole working set per (batch, kv-head) grid step. q/out/lse stream
+    # from/to HBM per q-block (whole-shard windowed residency with x2
+    # pipeline buffering blew the 128MB budget at the headline shape); the
+    # residents are kv + comm slots + fp32 accumulators + packed stats.
+    # Headline shape (L=8192, group=4, D=128, bf16): ~45MB + spill slack.
     vmem = (
-        group * l_local * d_ * q.dtype.itemsize  # q resident
-        + 6 * l_local * d_ * k.dtype.itemsize  # kv in + 2-slot double comm
+        6 * l_local * d_ * k.dtype.itemsize  # kv in + 2-slot double comm
         + group * l_local * d_ * 4  # acc f32
-        + group * l_local * 128 * 4  # packed m/l stats (128-lane tiles)
-        + group * l_local * d_ * q.dtype.itemsize  # out block
-        + group * l_local * 128 * 4  # lse out block (single-lane, padded)
+        + group * l_local * 128 * 4  # packed m/l/lse stats (128-lane tiles)
     )
-    assert vmem < 100 * 1024 * 1024, (
+    assert vmem < 80 * 1024 * 1024, (
         f"fused ring working set {vmem / 1e6:.1f}MB exceeds VMEM; use "
         "parallel.ring.ring_attention for this shape"
     )
@@ -269,24 +333,21 @@ def _fused_ring_forward(q, k, v, *, scale, causal, axis_name,
         group=group,
         l_local=l_local,
         blk_q=blk_q,
+        blk_kv=blk_kv,
     )
 
     out, lse = pl.pallas_call(
         kernel,
         grid=(b, hkv),
         in_specs=[
-            pl.BlockSpec((1, group, l_local, d_),
-                         lambda bi, hi: (bi, hi, 0, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),  # q streamed per block
             pl.BlockSpec((1, 1, l_local, d_), lambda bi, hi: (bi, hi, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, l_local, d_), lambda bi, hi: (bi, hi, 0, 0),
                          memory_space=pltpu.VMEM),
         ],
         out_specs=[
-            pl.BlockSpec((1, group, l_local, d_),
-                         lambda bi, hi: (bi, hi, 0, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),  # out DMA'd per block
             pl.BlockSpec((1, group, l_local, 1),
                          lambda bi, hi: (bi, hi, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -299,6 +360,9 @@ def _fused_ring_forward(q, k, v, *, scale, causal, axis_name,
             pltpu.VMEM((2, 2, l_local, d_), k.dtype),
             pltpu.VMEM((group, l_local, d_), jnp.float32),
             pltpu.VMEM((group, l_local, 128), jnp.float32),
+            pltpu.VMEM((blk_q, d_), q.dtype),
+            pltpu.VMEM((blk_q, d_), q.dtype),
+            pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.VMEM((2, 8, 128), jnp.int32),
@@ -318,22 +382,26 @@ def _fused_ring_forward(q, k, v, *, scale, causal, axis_name,
 
 
 def _fused_ring_bwd_kernel(
-    qs_ref,  # (1, group, L, D) q * scale * log2e, VMEM
+    qs_hbm,  # (B, Hq, L, D) q * scale * log2e, HBM — streamed per block
     k_ref,  # (1, 1, L, D) local k shard (raw), VMEM
     vs_ref,  # (1, 1, L, D) v * scale, VMEM
-    dout_ref,  # (1, group, L, D) VMEM
-    lse_hbm,  # (B, Hq, L, 1) f32 base-2 clamped, HBM (streamed per block)
-    delta_hbm,  # (B, Hq, L, 1) f32 delta * scale, HBM (streamed per block)
-    dq_ref,  # (1, group, L, D) f32 out (accumulated in place)
-    dk_ref,  # (1, 1, L, D) f32 out
-    dv_ref,  # (1, 1, L, D) f32 out
+    dout_hbm,  # (B, Hq, L, D) HBM — streamed per block
+    out_hbm,  # (B, Hq, L, D) HBM forward output — streamed per block;
+              # delta = scale * rowsum(dout * out) is computed in-kernel
+              # (single-lane HBM arrays cannot be manually DMA'd)
+    lse_ref,  # (1, group, L, 1) f32 base-2 clamped, windowed VMEM input
+    dq_hbm,  # (B, Hq, L, D) f32 out, HBM — DMA'd from the dq accumulator
+    dk_hbm,  # (B, Hkv, L, D) f32 out, HBM
+    dv_hbm,  # (B, Hkv, L, D) f32 out, HBM
     comm_kv,  # VMEM (2, 2, L, D) kv-dtype [slot, k/vs]
     comm_dkv,  # VMEM (2, 2, L, D) f32 [slot, dk/dv] — the traveling accums
+    dq_acc,  # VMEM (group, L, D) f32 — local dq accumulator (all steps)
     dk_s,  # VMEM (L, D) f32 — this step's local contributions
     dv_s,  # VMEM (L, D) f32
-    lse_buf,  # VMEM (blk_q, 1) f32
-    delta_buf,  # VMEM (blk_q, 1) f32
-    stream_sem,  # DMA (2,)
+    q_buf,  # VMEM (blk_q, D) kv-dtype — streamed q block
+    dout_buf,  # VMEM (blk_q, D) kv-dtype — streamed dout block
+    out_buf,  # VMEM (blk_q, D) kv-dtype — streamed forward-out block
+    stream_sem,  # DMA (4,)
     kv_send_sem,  # DMA (2,)
     kv_recv_sem,  # DMA (2,)
     dkv_send_sem,  # DMA (2,)
@@ -353,6 +421,7 @@ def _fused_ring_bwd_kernel(
     blk_q,
     blk_kv,
     dk_rescale,
+    scale,
 ):
     rank = jax.lax.axis_index(axis_name)
     nxt = jax.lax.rem(rank + 1, world)
@@ -362,76 +431,99 @@ def _fused_ring_bwd_kernel(
     n_qb = l_local // blk_q
     n_kb = l_local // blk_kv
 
-    dq_ref[...] = jnp.zeros_like(dq_ref)
+    dq_acc[...] = jnp.zeros_like(dq_acc)
 
-    def _stream_cols(g, qb):
-        """DMA this q block's lse and delta columns from HBM."""
+    def _stream_blocks(g, qb):
+        """DMA this q block's q, dout, and forward-out from HBM."""
         row = pl.ds(qb * blk_q, blk_q)
         h = hk * group + g
-        c1 = pltpu.make_async_copy(
-            lse_hbm.at[b_id, h, row, :], lse_buf, stream_sem.at[0]
-        )
-        c2 = pltpu.make_async_copy(
-            delta_hbm.at[b_id, h, row, :], delta_buf, stream_sem.at[1]
-        )
-        c1.start()
-        c2.start()
-        c1.wait()
-        c2.wait()
+        copies = [
+            pltpu.make_async_copy(
+                qs_hbm.at[b_id, h, row, :], q_buf, stream_sem.at[0]
+            ),
+            pltpu.make_async_copy(
+                dout_hbm.at[b_id, h, row, :], dout_buf, stream_sem.at[1]
+            ),
+            pltpu.make_async_copy(
+                out_hbm.at[b_id, h, row, :], out_buf, stream_sem.at[2]
+            ),
+        ]
+        for c in copies:
+            c.start()
+        for c in copies:
+            c.wait()
 
-    def _compute_step(kk, vv, diagonal):
+    kv_dtype = k_ref.dtype
+
+    def _compute_step(kk_ref, vv_ref, diagonal):
         """Accumulate this step's dq into dq_ref and dk/dv into dk_s/dv_s
-        against the resident kv (kk raw k, vv pre-scaled v), both (L, D).
+        against the resident kv ((L, D) sub-refs: kk raw k, vv pre-scaled
+        v). q blocks and KV chunks iterate via lax.fori_loop — compact
+        Mosaic program at production shapes, (blk_q, blk_kv) logits
+        intermediates (see _attend in the forward kernel).
 
-        diagonal=True is step 0 (local causal): the (qb, kb) triangle is
-        STATIC here — above-diagonal kv sub-blocks are skipped at trace
-        time and only crossing sub-blocks pay the mask pass."""
+        diagonal=True is step 0 (local causal): the KV chunk loop is
+        bounded at each q block's diagonal and chunks pay the mask."""
         for g in range(group):
-            for qb in range(n_qb):
-                _stream_cols(g, qb)
-                row = slice(qb * blk_q, (qb + 1) * blk_q)
-                qs_blk = qs_ref[0, g, row, :]
-                dout_blk = dout_ref[0, g, row, :]
-                for kb in range(n_kb):
-                    if diagonal and kb * blk_kv > (qb + 1) * blk_q - 1:
-                        continue  # fully above the local diagonal
-                    masked = diagonal and (
-                        qb * blk_q < (kb + 1) * blk_kv - 1
+            def qb_body(qb, _, g=g):
+                _stream_blocks(g, qb)
+                row = pl.ds(qb * blk_q, blk_q)
+                qs_blk = q_buf[...]
+                dout_blk = dout_buf[...]
+                lse_col = lse_ref[0, g, row, :]
+                delta_col = jnp.float32(scale) * jnp.sum(
+                    dout_blk.astype(jnp.float32)
+                    * out_buf[...].astype(jnp.float32),
+                    axis=1, keepdims=True,
+                )
+                if diagonal:
+                    nkb = jnp.minimum(
+                        (qb * blk_q + blk_q - 1) // blk_kv + 1, n_kb
                     )
-                    ks = slice(kb * blk_kv, (kb + 1) * blk_kv)
+                else:
+                    nkb = n_kb
+
+                def kb_body(kb, _):
+                    ks = pl.ds(kb * blk_kv, blk_kv)
                     s = jax.lax.dot_general(
-                        qs_blk, kk[ks, :],
+                        qs_blk, kk_ref[ks, :],
                         dimension_numbers=(((1,), (1,)), ((), ())),
                         preferred_element_type=jnp.float32,
                     )  # (blk_q, blk_kv) base-2 logits
-                    if masked:
+                    if diagonal:
                         rows = jax.lax.broadcasted_iota(
                             jnp.int32, (blk_q, 1), 0) + qb * blk_q
                         cols = jax.lax.broadcasted_iota(
                             jnp.int32, (1, blk_kv), 1) + kb * blk_kv
                         s = jnp.where(rows >= cols, s, NEG_INF)
-                    pr = jnp.exp2(s - lse_buf[...])
+                    pr = jnp.exp2(s - lse_col)
                     dp = jax.lax.dot_general(
-                        dout_blk, vv[ks, :],
+                        dout_blk, vv_ref[ks, :],
                         dimension_numbers=(((1,), (1,)), ((), ())),
                         preferred_element_type=jnp.float32,
                     )  # scale * dout @ v^T
-                    ds = pr * (dp - delta_buf[...])
-                    dq_ref[0, g, row, :] += jax.lax.dot_general(
-                        ds.astype(kk.dtype), kk[ks, :],
+                    ds = pr * (dp - delta_col)
+                    dq_acc[g, row, :] += jax.lax.dot_general(
+                        ds.astype(kv_dtype), kk_ref[ks, :],
                         dimension_numbers=(((1,), (0,)), ((), ())),
                         preferred_element_type=jnp.float32,
                     )
                     dk_s[ks, :] += jax.lax.dot_general(
-                        ds.astype(qs_blk.dtype), qs_blk,
+                        ds.astype(kv_dtype), qs_blk,
                         dimension_numbers=(((0,), (0,)), ((), ())),
                         preferred_element_type=jnp.float32,
                     )
                     dv_s[ks, :] += jax.lax.dot_general(
-                        pr.astype(dout_blk.dtype), dout_blk,
+                        pr.astype(kv_dtype), dout_blk,
                         dimension_numbers=(((0,), (0,)), ((), ())),
                         preferred_element_type=jnp.float32,
                     )
+                    return 0
+
+                jax.lax.fori_loop(0, nkb, kb_body, 0)
+                return 0
+
+            jax.lax.fori_loop(0, n_qb, qb_body, 0)
 
     def _rdma(src_ref, dst_ref, send_sem, recv_sem, device_id):
         return pltpu.make_async_remote_copy(
@@ -490,12 +582,33 @@ def _fused_ring_bwd_kernel(
                   dkv_send_sem.at[slot], dkv_recv_sem.at[slot],
                   prv).wait_recv()
 
+    def _flush_outputs(dk_src, dv_src):
+        """DMA dq (per group member) and the home dk/dv to HBM."""
+        copies = []
+        for g in range(group):
+            copies.append(pltpu.make_async_copy(
+                dq_acc.at[g], dq_hbm.at[b_id, hk * group + g],
+                stream_sem.at[g % 2],
+            ))
+        copies.append(pltpu.make_async_copy(
+            dk_src, dk_hbm.at[b_id, hk], stream_sem.at[2]
+        ))
+        copies.append(pltpu.make_async_copy(
+            dv_src, dv_hbm.at[b_id, hk], stream_sem.at[3]
+        ))
+        done = []
+        for c in copies:
+            # serialize pairs sharing a semaphore slot
+            c.start()
+            c.wait()
+            done.append(c)
+
     if world == 1:
         dk_s[...] = jnp.zeros_like(dk_s)
         dv_s[...] = jnp.zeros_like(dv_s)
-        _compute_step(k_ref[0, 0], vs_ref[0, 0], causal)
-        dk_ref[0, 0] = dk_s[...] * jnp.float32(dk_rescale)
-        dv_ref[0, 0] = dv_s[...]
+        _compute_step(k_ref.at[0, 0], vs_ref.at[0, 0], causal)
+        dk_s[...] = dk_s[...] * jnp.float32(dk_rescale)
+        _flush_outputs(dk_s, dv_s)
         return
 
     # kv credits: identical scheme to the forward kernel. dkv credits:
@@ -514,7 +627,7 @@ def _fused_ring_bwd_kernel(
         if step == 0:
             _wait_credit_kv(next_slot)
             kv_sends = _send_kv(k_ref.at[0, 0], vs_ref.at[0, 0], next_slot)
-            _compute_step(k_ref[0, 0], vs_ref[0, 0], causal)
+            _compute_step(k_ref.at[0, 0], vs_ref.at[0, 0], causal)
             # own-kv accumulator = just this step's contributions
             _wait_credit_dkv(next_slot)
             dkv_sends = _send_dkv(dk_s, dv_s, next_slot)
@@ -532,11 +645,13 @@ def _fused_ring_bwd_kernel(
                 @pl.when(step <= rank)
                 def _():
                     _compute_step(
-                        comm_kv[recv_slot, 0], comm_kv[recv_slot, 1], False
+                        comm_kv.at[recv_slot, 0], comm_kv.at[recv_slot, 1],
+                        False,
                     )
             else:
                 _compute_step(
-                    comm_kv[recv_slot, 0], comm_kv[recv_slot, 1], False
+                    comm_kv.at[recv_slot, 0], comm_kv.at[recv_slot, 1],
+                    False,
                 )
             # merge this step's contributions into the traveling
             # accumulator (zeros if the step was causally skipped), then
@@ -563,11 +678,11 @@ def _fused_ring_bwd_kernel(
     # after W hops the accumulator for OUR kv shard is home
     home = world % 2
     _wait_recv_dkv(home)
-    dk_ref[0, 0] = comm_dkv[home, 0] * jnp.float32(dk_rescale)
-    dv_ref[0, 0] = comm_dkv[home, 1]
+    comm_dkv[home, 0] = comm_dkv[home, 0] * jnp.float32(dk_rescale)
+    _flush_outputs(comm_dkv.at[home, 0], comm_dkv.at[home, 1])
 
 
-def _fused_ring_backward(q, k, v, dout, lse, delta, *, scale, causal,
+def _fused_ring_backward(q, k, v, dout, out, lse, *, scale, causal,
                          axis_name, blk_q=None, blk_kv=None,
                          interpret=False, collective_id=8):
     """In-kernel dual-ring backward: kv rotates forward while the dk/dv
@@ -584,16 +699,16 @@ def _fused_ring_backward(q, k, v, dout, lse, delta, *, scale, causal,
     blk_kv = blk_kv or min(1024, l_local)
     assert l_local % blk_q == 0 and l_local % blk_kv == 0
 
+    # qs/dout/lse/delta stream from HBM per q-block and dq/dk/dv are
+    # DMA'd out, so the residents are kv + comm slots + accumulators.
+    # Headline shape (L=8192, group=4, D=128): ~56MB + spill slack.
     vmem = (
-        2 * group * l_local * d_ * q.dtype.itemsize  # qs + dout resident
-        + 2 * l_local * d_ * k.dtype.itemsize  # k + vs in
-        + 4 * l_local * d_ * k.dtype.itemsize  # comm_kv (2 slots x 2)
+        6 * l_local * d_ * k.dtype.itemsize  # k/vs in + comm_kv slots
         + 4 * l_local * d_ * 4  # comm_dkv f32
         + 2 * l_local * d_ * 4  # dk_s/dv_s
-        + group * l_local * d_ * 4  # dq out
-        + 2 * l_local * d_ * 4  # dk/dv out
+        + group * l_local * d_ * 4  # dq accumulator
     )
-    assert vmem < 100 * 1024 * 1024, (
+    assert vmem < 80 * 1024 * 1024, (
         f"fused ring bwd working set {vmem / 1e6:.1f}MB exceeds VMEM; use "
         "the schedule-level backward for this shape"
     )
@@ -603,7 +718,6 @@ def _fused_ring_backward(q, k, v, dout, lse, delta, *, scale, causal,
     lse4 = jnp.maximum(
         lse.astype(jnp.float32) * _LOG2E, NEG_INF / 2
     )[..., None]
-    delta4 = (delta.astype(jnp.float32) * scale)[..., None]
 
     kernel = functools.partial(
         _fused_ring_bwd_kernel,
@@ -615,25 +729,25 @@ def _fused_ring_backward(q, k, v, dout, lse, delta, *, scale, causal,
         blk_q=blk_q,
         blk_kv=blk_kv,
         dk_rescale=_LN2 / scale,
+        scale=scale,
     )
 
-    blk4 = lambda: pl.BlockSpec(
-        (1, group, l_local, d_), lambda bi, hi: (bi, hi, 0, 0),
-        memory_space=pltpu.VMEM,
-    )
     blkkv = lambda: pl.BlockSpec(
         (1, 1, l_local, d_), lambda bi, hi: (bi, hi, 0, 0),
+        memory_space=pltpu.VMEM,
+    )
+    anyspec = lambda: pl.BlockSpec(memory_space=pltpu.ANY)
+    lsespec = pl.BlockSpec(
+        (1, group, l_local, 1), lambda bi, hi: (bi, hi, 0, 0),
         memory_space=pltpu.VMEM,
     )
     dq, dk, dv = pl.pallas_call(
         kernel,
         grid=(b, hkv),
         in_specs=[
-            blk4(), blkkv(), blkkv(), blk4(),
-            pl.BlockSpec(memory_space=pltpu.ANY),
-            pl.BlockSpec(memory_space=pltpu.ANY),
+            anyspec(), blkkv(), blkkv(), anyspec(), anyspec(), lsespec,
         ],
-        out_specs=[blk4(), blkkv(), blkkv()],
+        out_specs=[anyspec(), anyspec(), anyspec()],
         out_shape=[
             jax.ShapeDtypeStruct((b, hq, l_local, d_), jnp.float32),
             jax.ShapeDtypeStruct((b, hkv, l_local, d_), jnp.float32),
@@ -642,11 +756,13 @@ def _fused_ring_backward(q, k, v, dout, lse, delta, *, scale, causal,
         scratch_shapes=[
             pltpu.VMEM((2, 2, l_local, d_), k.dtype),
             pltpu.VMEM((2, 2, l_local, d_), jnp.float32),
+            pltpu.VMEM((group, l_local, d_), jnp.float32),
             pltpu.VMEM((l_local, d_), jnp.float32),
             pltpu.VMEM((l_local, d_), jnp.float32),
-            pltpu.VMEM((blk_q, 1), jnp.float32),
-            pltpu.VMEM((blk_q, 1), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.VMEM((blk_q, d_), k.dtype),
+            pltpu.VMEM((blk_q, d_), k.dtype),
+            pltpu.VMEM((blk_q, d_), k.dtype),
+            pltpu.SemaphoreType.DMA((4,)),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
@@ -664,7 +780,7 @@ def _fused_ring_backward(q, k, v, dout, lse, delta, *, scale, causal,
             vmem_limit_bytes=115 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(qs, k, vsc, dout, lse4, delta4)
+    )(qs, k, vsc, dout, out, lse4)
     return dq, dk, dv
 
 
@@ -692,8 +808,6 @@ def fused_ring_attention(q, k, v, *, scale, causal, axis_name,
     _fused_ring_forward; fall back to parallel.ring.ring_attention beyond
     it (the headline 8k-tokens/chip shape fits).
     """
-    from ..ops.flash import compute_delta
-
     @jax.custom_vjp
     def f(q, k, v):
         return _fused_ring_forward(
@@ -719,9 +833,8 @@ def fused_ring_attention(q, k, v, *, scale, causal, axis_name,
             )
             mode = "fused" if ws < 100 * 1024 * 1024 else "schedule"
         if mode == "fused":
-            delta = compute_delta(dout, out)
             dq, dk, dv = _fused_ring_backward(
-                q, k, v, dout, lse, delta, scale=scale, causal=causal,
+                q, k, v, dout, out, lse, scale=scale, causal=causal,
                 axis_name=axis_name, interpret=interpret,
                 collective_id=collective_id + 1,
             )
