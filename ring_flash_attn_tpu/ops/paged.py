@@ -1,0 +1,320 @@
+"""Paged KV cache + paged decode attention (TPU-native serving extension).
+
+The reference stops at training-time context parallelism; production
+serving needs a vLLM-style paged KV cache: the cache lives in a global
+pool of fixed-size pages, sequences map logical blocks to arbitrary pages
+through a block table, and decode attention gathers pages by table lookup.
+On TPU the natural formulation is a Pallas kernel whose page indices ride
+as SCALAR-PREFETCHED block tables driving the BlockSpec index maps — the
+kernel streams exactly the pages a sequence owns, in order, with zero
+gather materialization (the same scalar-prefetch machinery as the
+triangular causal grids in ops/pallas_fwd.py).
+
+Layout:
+  k_pages, v_pages  (num_pages, Hkv, page_size, D)  — global page pool
+                    (page-major: one page's ALL heads are contiguous, so
+                    the kernel fetches them in a single per-step DMA —
+                    head-major pools make each step a tiny per-head copy
+                    and leave the decode DMA-latency-bound)
+  block_tables      (B, pages_per_seq) int32        — logical -> physical
+  seq_lens          (B,) int32                      — valid tokens per seq
+
+`paged_decode_attention` returns fp32 ``(out, lse)`` partials, the same
+mergeable contract as quant_decode_attention (ops/quant.py), so paged
+caches compose with sequence-sharded decode via merge_partials.
+
+The XLA path (backend="xla") gathers pages dense and is the numerics
+oracle; the Pallas kernel is the production path. Unwritten page slots may
+hold garbage — reads mask by seq_lens, and block_tables must point at
+valid (allocatable) page ids everywhere (pad with any real page id).
+
+Measured on v5e (B=4, 32q/8kv heads, D=128, page_size 512-1024, shuffled
+tables): ~1.0 ms/decode step at 8k-token contexts — per-grid-step fixed
+cost dominates at decode's tiny arithmetic intensity; page size 512 and
+1024 are equivalent, 2048 needs the raised vmem budget below.
+"""
+
+import functools
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from .mask import NEG_INF
+
+
+class PagedKVCache(NamedTuple):
+    k_pages: jnp.ndarray  # (num_pages, Hkv, page_size, D)
+    v_pages: jnp.ndarray  # (num_pages, Hkv, page_size, D)
+    block_tables: jnp.ndarray  # (B, pages_per_seq) int32
+    seq_lens: jnp.ndarray  # (B,) int32
+
+    @property
+    def page_size(self):
+        return self.k_pages.shape[2]
+
+
+def paged_init(batch, hkv, num_pages, page_size, pages_per_seq, d,
+               dtype=jnp.bfloat16, block_tables=None):
+    """Empty cache. Default block_tables gives sequence b the contiguous
+    page range [b * pages_per_seq, (b+1) * pages_per_seq) — callers with a
+    real allocator pass their own tables."""
+    if block_tables is None:
+        assert num_pages >= batch * pages_per_seq
+        block_tables = (
+            jnp.arange(batch * pages_per_seq, dtype=jnp.int32)
+            .reshape(batch, pages_per_seq)
+        )
+    z = jnp.zeros((num_pages, hkv, page_size, d), dtype)
+    return PagedKVCache(
+        z, jnp.zeros_like(z), jnp.asarray(block_tables, jnp.int32),
+        jnp.zeros((batch,), jnp.int32),
+    )
+
+
+def paged_prefill(cache: PagedKVCache, k, v, seq_lens):
+    """Bulk-write dense k/v (B, Hkv, S, D) into the cache's pages and set
+    seq_lens. S must be a multiple of page_size; positions past seq_lens[b]
+    are written but masked at read."""
+    _, hkv, ps, d = cache.k_pages.shape
+    b, _, s, _ = k.shape
+    assert s % ps == 0, (s, ps)
+    nblk = s // ps
+    bt = cache.block_tables[:, :nblk]  # (B, nblk)
+
+    def scatter(pages, x):
+        # x (B, Hkv, S, D) -> blocks (B, nblk, Hkv, ps, D)
+        xb = x.reshape(b, hkv, nblk, ps, d).transpose(0, 2, 1, 3, 4)
+        return pages.at[bt].set(xb.astype(pages.dtype))
+
+    return cache._replace(
+        k_pages=scatter(cache.k_pages, k),
+        v_pages=scatter(cache.v_pages, v),
+        seq_lens=jnp.asarray(seq_lens, jnp.int32),
+    )
+
+
+def paged_append(cache: PagedKVCache, k_new, v_new):
+    """Append ONE token per sequence (the decode step): k_new/v_new
+    (B, Hkv, 1, D). Returns the cache with seq_lens advanced."""
+    ps = cache.page_size
+    pos = cache.seq_lens  # (B,)
+    page = jnp.take_along_axis(
+        cache.block_tables, (pos // ps)[:, None], axis=1
+    )[:, 0]  # (B,)
+    off = pos % ps
+
+    def scatter(pages, x):
+        # x (B, Hkv, 1, D) -> (B, Hkv, D)
+        xt = x[:, :, 0, :].astype(pages.dtype)
+        return pages.at[page, :, off, :].set(xt)
+
+    return cache._replace(
+        k_pages=scatter(cache.k_pages, k_new),
+        v_pages=scatter(cache.v_pages, v_new),
+        seq_lens=pos + 1,
+    )
+
+
+def paged_gather_dense(cache: PagedKVCache):
+    """(k, v) dense (B, Hkv, pages_per_seq * page_size, D) — the XLA
+    oracle's gather; positions past seq_lens are garbage (mask by length)."""
+    _, hkv, ps, d = cache.k_pages.shape
+    b, npages = cache.block_tables.shape
+
+    def gather(pages):
+        g = pages[cache.block_tables]  # (B, npages, Hkv, ps, D)
+        return g.transpose(0, 2, 1, 3, 4).reshape(b, hkv, npages * ps, d)
+
+    return gather(cache.k_pages), gather(cache.v_pages)
+
+
+def paged_decode_attention(q, cache: PagedKVCache, scale, softcap=None,
+                           backend=None):
+    """Decode attention of q (B, Hq, Tq, D) against the paged cache.
+
+    Causal within the new tokens is not applied (decode Tq is typically 1).
+    Returns fp32 (out (B, Hq, Tq, D), lse (B, Hq, Tq)) partials for
+    cross-shard merging. backend: None/"pallas" (default on TPU),
+    "pallas_interpret", "xla"."""
+    from ..config import get_backend
+
+    resolved = get_backend(backend)
+    if resolved == "xla":
+        return _xla_paged_decode(q, cache, scale, softcap)
+    return _pallas_paged_decode(
+        q, cache, scale, softcap,
+        interpret=(resolved == "pallas_interpret"),
+    )
+
+
+def _xla_paged_decode(q, cache, scale, softcap):
+    b, hq, tq, d = q.shape
+    hkv = cache.k_pages.shape[1]
+    g = hq // hkv
+    k, v = paged_gather_dense(cache)
+    s_tot = k.shape[2]
+    qf = q.astype(jnp.float32).reshape(b, hkv, g * tq, d)
+    logits = jnp.einsum(
+        "bhqd,bhkd->bhqk", qf, k.astype(jnp.float32)
+    ) * scale
+    if softcap:
+        logits = softcap * jnp.tanh(logits / softcap)
+    valid = (
+        jnp.arange(s_tot, dtype=jnp.int32)[None, None, None, :]
+        < cache.seq_lens[:, None, None, None]
+    )
+    logits = jnp.where(valid, logits, NEG_INF)
+    m = jnp.max(logits, axis=-1, keepdims=True)
+    p = jnp.exp(logits - m)
+    l = jnp.sum(p, axis=-1, keepdims=True)
+    out = jnp.einsum("bhqk,bhkd->bhqd", p, v.astype(jnp.float32)) / l
+    lse = (m + jnp.log(l))[..., 0]
+    return (
+        out.reshape(b, hq, tq, d),
+        lse.reshape(b, hq, tq),
+    )
+
+
+def _paged_kernel(
+    bt_ref,  # (B * npages,) int32 scalar prefetch: block tables
+    len_ref,  # (B,) int32 scalar prefetch: seq lens
+    q_ref,  # (1, Hkv, rows, D) f32 pre-scaled
+    k_ref,  # (1, Hkv, page_size, D) — ONE page, all heads
+    v_ref,  # (1, Hkv, page_size, D)
+    out_ref,  # (1, Hkv, rows, D) f32
+    lse_ref,  # (1, Hkv, rows, 1) f32
+    m_s,  # (Hkv, rows, 128) f32
+    l_s,  # (Hkv, rows, 128) f32
+    acc_s,  # (Hkv, rows, D) f32
+    *,
+    softcap,
+    hkv,
+    page_size,
+    npages,
+):
+    b_id = pl.program_id(0)
+    i = pl.program_id(1)
+    seq_len = len_ref[b_id]
+    valid_pages = jnp.maximum((seq_len + page_size - 1) // page_size, 1)
+
+    @pl.when(i == 0)
+    def _():
+        m_s[:, :, :1] = jnp.full(m_s[:, :, :1].shape, NEG_INF, jnp.float32)
+        l_s[:, :, :1] = jnp.zeros(l_s[:, :, :1].shape, jnp.float32)
+        acc_s[...] = jnp.zeros_like(acc_s)
+
+    @pl.when(i < valid_pages)
+    def _compute():
+        pos = i * page_size + jax.lax.broadcasted_iota(
+            jnp.int32, (1, page_size), 1
+        )
+        live = pos < seq_len
+        for h in range(hkv):
+            kq = k_ref[0, h].astype(jnp.bfloat16)
+            s = jax.lax.dot_general(
+                q_ref[0, h].astype(jnp.bfloat16), kq,
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (rows, page_size), natural units (scale folded into q)
+            if softcap:
+                s = softcap * jnp.tanh(s * (1.0 / softcap))
+            s = jnp.where(live, s, NEG_INF)
+            m_prev = m_s[h, :, :1]
+            m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
+            alpha = jnp.exp(m_prev - m_new)
+            p = jnp.exp(s - m_new)
+            l_s[h, :, :1] = (
+                l_s[h, :, :1] * alpha + jnp.sum(p, axis=1, keepdims=True)
+            )
+            acc_s[h] = acc_s[h] * alpha + jax.lax.dot_general(
+                p.astype(jnp.bfloat16), v_ref[0, h].astype(jnp.bfloat16),
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            m_s[h, :, :1] = m_new
+
+    @pl.when(i == npages - 1)
+    def _flush():
+        for h in range(hkv):
+            l = l_s[h, :, :1]
+            dead = jnp.logical_or(l == 0.0, m_s[h, :, :1] <= NEG_INF / 2)
+            l_safe = jnp.where(l == 0.0, 1.0, l)
+            out_ref[0, h] = jnp.where(dead, 0.0, acc_s[h] / l_safe)
+            lse_ref[0, h] = jnp.where(
+                dead, NEG_INF, m_s[h, :, :1] + jnp.log(l_safe)
+            )
+
+
+def _pallas_paged_decode(q, cache, scale, softcap, interpret=False):
+    b, hq, tq, d = q.shape
+    num_pages, hkv, ps, _ = cache.k_pages.shape
+    g = hq // hkv
+    rows = g * tq
+    npages = cache.block_tables.shape[1]
+
+    qf = (q.astype(jnp.float32) * scale).reshape(b, hkv, rows, d)
+    bt = cache.block_tables.reshape(-1)
+    lens = jnp.asarray(cache.seq_lens, jnp.int32)
+
+    def q_index(bi, i, bt_ref, len_ref):
+        return (bi, 0, 0, 0)
+
+    # one grid step = one page with ALL its KV heads (a single contiguous
+    # DMA — the page-major pool layout exists for this). Pages past the
+    # sequence's last valid page revisit it (no DMA re-issued); their
+    # compute is skipped in-kernel.
+    def page_index(bi, i, bt_ref, len_ref):
+        seq_len = len_ref[bi]
+        valid = jnp.maximum((seq_len + ps - 1) // ps, 1)
+        ii = jnp.minimum(i, valid - 1)
+        return (bt_ref[bi * npages + ii], 0, 0, 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(b, npages),
+        in_specs=[
+            pl.BlockSpec((1, hkv, rows, d), q_index,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, hkv, ps, d), page_index,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, hkv, ps, d), page_index,
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, hkv, rows, d), q_index,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, hkv, rows, 1), q_index,
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((hkv, rows, 128), jnp.float32),
+            pltpu.VMEM((hkv, rows, 128), jnp.float32),
+            pltpu.VMEM((hkv, rows, d), jnp.float32),
+        ],
+    )
+
+    out, lse = pl.pallas_call(
+        functools.partial(
+            _paged_kernel, softcap=softcap, hkv=hkv, page_size=ps,
+            npages=npages,
+        ),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((b, hkv, rows, d), jnp.float32),
+            jax.ShapeDtypeStruct((b, hkv, rows, 1), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+            # page blocks of all heads exceed the default 16MB scoped
+            # budget past page_size 1024
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(bt, lens, qf, cache.k_pages, cache.v_pages)
+    return (
+        out.reshape(b, hq, tq, d),
+        lse.reshape(b, hq, tq),
+    )

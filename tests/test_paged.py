@@ -1,0 +1,143 @@
+"""Paged KV cache + paged decode attention vs the dense oracle.
+
+Serving-side extension (the reference has no inference path at all): the
+cache lives in a global page pool with per-sequence block tables; the
+Pallas kernel streams pages via scalar-prefetched table lookups."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from ring_flash_attn_tpu.ops.paged import (
+    PagedKVCache,
+    paged_append,
+    paged_decode_attention,
+    paged_init,
+    paged_prefill,
+)
+
+B, HQ, HKV, D = 2, 4, 2, 64
+PS = 128  # page size
+NPAGES_SEQ = 4
+S = PS * NPAGES_SEQ
+SCALE = D**-0.5
+
+
+def _dense_ref(q, k, v, lens, softcap=None):
+    """Masked decode attention oracle on dense (B, Hkv, S, D)."""
+    b, hq, tq, d = q.shape
+    g = hq // HKV
+    qf = q.astype(jnp.float32).reshape(b, HKV, g * tq, d)
+    logits = jnp.einsum("bhqd,bhkd->bhqk", qf, k.astype(jnp.float32)) * SCALE
+    if softcap:
+        logits = softcap * jnp.tanh(logits / softcap)
+    valid = jnp.arange(k.shape[2])[None, None, None, :] < lens[:, None, None, None]
+    logits = jnp.where(valid, logits, -jnp.inf)
+    p = jax.nn.softmax(logits, axis=-1)
+    out = jnp.einsum("bhqk,bhkd->bhqd", p, v.astype(jnp.float32))
+    lse = jax.scipy.special.logsumexp(
+        jnp.where(valid, logits, -jnp.inf), axis=-1
+    )
+    return out.reshape(b, hq, tq, d), lse.reshape(b, hq, tq)
+
+
+@pytest.fixture(scope="module")
+def filled():
+    k = jax.random.normal(jax.random.PRNGKey(1), (B, HKV, S, D), jnp.float32)
+    v = jax.random.normal(jax.random.PRNGKey(2), (B, HKV, S, D), jnp.float32)
+    lens = jnp.asarray([300, 512 - 17 * PS // PS], jnp.int32)
+    lens = jnp.asarray([300, 450], jnp.int32)
+    # shuffled block tables: pages deliberately non-contiguous
+    rng = np.random.RandomState(0)
+    perm = rng.permutation(B * NPAGES_SEQ).reshape(B, NPAGES_SEQ)
+    cache = paged_init(
+        B, HKV, B * NPAGES_SEQ, PS, NPAGES_SEQ, D, dtype=jnp.float32,
+        block_tables=perm,
+    )
+    cache = paged_prefill(cache, k, v, lens)
+    return cache, k, v, lens
+
+
+def test_prefill_roundtrip(filled):
+    from ring_flash_attn_tpu.ops.paged import paged_gather_dense
+
+    cache, k, v, lens = filled
+    kd, vd = paged_gather_dense(cache)
+    # valid positions must round-trip exactly
+    for b in range(B):
+        n = int(lens[b])
+        assert jnp.array_equal(kd[b, :, :n], k[b, :, :n])
+        assert jnp.array_equal(vd[b, :, :n], v[b, :, :n])
+
+
+@pytest.mark.parametrize("softcap", [None, 12.0])
+def test_paged_decode_xla_vs_oracle(filled, softcap):
+    cache, k, v, lens = filled
+    q = jax.random.normal(jax.random.PRNGKey(0), (B, HQ, 1, D), jnp.float32)
+    ro, rl = _dense_ref(q, k, v, lens, softcap)
+    go, gl = paged_decode_attention(q, cache, SCALE, softcap=softcap,
+                                    backend="xla")
+    assert jnp.max(jnp.abs(go - ro)) < 1e-5
+    assert jnp.max(jnp.abs(gl - rl)) < 1e-5
+
+
+@pytest.mark.parametrize("softcap", [None, 12.0])
+def test_paged_decode_pallas_vs_xla(filled, softcap):
+    cache, k, v, lens = filled
+    q = jax.random.normal(jax.random.PRNGKey(0), (B, HQ, 1, D), jnp.float32)
+    ro, rl = paged_decode_attention(q, cache, SCALE, softcap=softcap,
+                                    backend="xla")
+    go, gl = paged_decode_attention(q, cache, SCALE, softcap=softcap,
+                                    backend="pallas_interpret")
+    assert jnp.max(jnp.abs(go - ro)) < 5e-3
+    assert jnp.max(jnp.abs(gl - rl)) < 5e-3
+
+
+def test_paged_append_decode_steps(filled):
+    """A few autoregressive steps: append one token per sequence, decode,
+    compare against the dense oracle each step."""
+    cache, k, v, lens = filled
+    key = jax.random.PRNGKey(7)
+    kd, vd = jnp.array(k), jnp.array(v)
+    step_append = jax.jit(paged_append)
+    for step in range(3):
+        key, k1, k2, k3 = jax.random.split(key, 4)
+        knew = jax.random.normal(k1, (B, HKV, 1, D), jnp.float32)
+        vnew = jax.random.normal(k2, (B, HKV, 1, D), jnp.float32)
+        cache = step_append(cache, knew, vnew)
+        # mirror into the dense copy at each sequence's position
+        for b in range(B):
+            pos = int(lens[b]) + step
+            kd = kd.at[b, :, pos].set(knew[b, :, 0])
+            vd = vd.at[b, :, pos].set(vnew[b, :, 0])
+        q = jax.random.normal(k3, (B, HQ, 1, D), jnp.float32)
+        ro, rl = _dense_ref(q, kd, vd, lens + step + 1)
+        go, gl = paged_decode_attention(q, cache, SCALE, backend="xla")
+        assert jnp.max(jnp.abs(go - ro)) < 1e-5, step
+        po, plse = paged_decode_attention(q, cache, SCALE,
+                                          backend="pallas_interpret")
+        assert jnp.max(jnp.abs(po - ro)) < 5e-3, step
+
+
+def test_paged_lse_merge_contract(filled):
+    """The (out, lse) partials from two disjoint caches merge to the
+    attention over their union — the sequence-sharded serving contract."""
+    from ring_flash_attn_tpu.ops.merge import merge_partials
+
+    cache, k, v, lens = filled
+    q = jax.random.normal(jax.random.PRNGKey(0), (B, HQ, 1, D), jnp.float32)
+    half = S // 2
+    lens_a = jnp.minimum(lens, half)
+    lens_b = jnp.maximum(lens - half, 0)
+
+    ca = paged_init(B, HKV, B * NPAGES_SEQ, PS, NPAGES_SEQ, D, jnp.float32)
+    ca = paged_prefill(ca, k[:, :, :half], v[:, :, :half], lens_a)
+    cb = paged_init(B, HKV, B * NPAGES_SEQ, PS, NPAGES_SEQ, D, jnp.float32)
+    cb = paged_prefill(cb, k[:, :, half:], v[:, :, half:], lens_b)
+
+    oa, la = paged_decode_attention(q, ca, SCALE, backend="xla")
+    ob, lb = paged_decode_attention(q, cb, SCALE, backend="xla")
+    out, _ = merge_partials(oa, la, ob, lb)
+    ro, _ = _dense_ref(q, k, v, lens)
+    assert jnp.max(jnp.abs(out - ro)) < 1e-5
