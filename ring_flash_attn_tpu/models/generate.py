@@ -18,7 +18,6 @@ nothing moves. Decode feeds one token at a time with two cache regions:
 Everything here is per-shard (call inside shard_map over `axis_name`).
 """
 
-import jax
 import jax.numpy as jnp
 from jax import lax
 

@@ -21,7 +21,6 @@ heads (kv_heads must divide tp).
 """
 
 import dataclasses
-import functools
 
 import jax
 import jax.numpy as jnp

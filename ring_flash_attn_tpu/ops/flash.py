@@ -10,8 +10,6 @@ Internal layout is (B, H, S, D); the public api layer handles flash-attn's
 (B, S, H, D) convention.
 """
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 import numpy as _np

@@ -263,7 +263,7 @@ def pallas_block_bwd_fused(dout, q, k, v, lse, delta, scale,
                            blk_q=None, blk_kv=None, kv_sub=None):
     """Fused block backward. Returns (dq, dk, dv) fp32; dk/dv per KV head,
     GQA group accumulated in-kernel. Same contract as pallas_block_bwd."""
-    from .pallas_bwd import DEFAULT_BLOCK_Q, DEFAULT_BLOCK_KV
+    from .pallas_bwd import DEFAULT_BLOCK_Q
     from .pallas_fwd import _pick_block
 
     b, hq, sq, d = q.shape

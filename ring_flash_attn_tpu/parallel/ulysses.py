@@ -13,7 +13,6 @@ query head count when Hkv < W so every shard keeps whole KV head groups
 (standard Ulysses practice).
 """
 
-import jax
 import jax.numpy as jnp
 from jax import lax
 

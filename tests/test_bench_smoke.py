@@ -6,10 +6,7 @@ compiles and runs them on a 2-device slice of the virtual CPU mesh at tiny
 shapes so signature or shard_map drift is caught by the suite (<30s).
 """
 
-import numpy as np
 import pytest
-
-import jax
 
 
 @pytest.fixture()

@@ -22,7 +22,6 @@ from ring_flash_attn_tpu.parallel.decode import (
     sharded_quant_decode,
 )
 
-from oracle import full_attention
 
 W = 8
 B, HQ, HKV, S, D = 1, 8, 2, 512, 64

@@ -6,7 +6,6 @@ from functools import partial
 import jax
 import jax.numpy as jnp
 import numpy as np
-import pytest
 from jax import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 

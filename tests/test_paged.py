@@ -10,7 +10,6 @@ import numpy as np
 import pytest
 
 from ring_flash_attn_tpu.ops.paged import (
-    PagedKVCache,
     paged_append,
     paged_decode_attention,
     paged_init,

@@ -8,7 +8,6 @@ Variants (timing-only):
   half-rect   — mask-free at causal FLOPs (isolates init/flush overheads)
 """
 
-import sys
 import time
 
 import jax
