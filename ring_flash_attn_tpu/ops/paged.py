@@ -318,3 +318,297 @@ def _pallas_paged_decode(q, cache, scale, softcap, interpret=False):
         out.reshape(b, hq, tq, d),
         lse.reshape(b, hq, tq),
     )
+
+
+# ---------------------------------------------------------------------------
+# Quantized paged cache: int8/fp8 pages + per-token scales — paging and
+# KV quantization composed (halves/quarters the page-pool bandwidth the
+# decode step must stream; see ops/quant.py for the quantization scheme).
+# ---------------------------------------------------------------------------
+
+
+class QuantPagedKVCache(NamedTuple):
+    k_pages: jnp.ndarray  # int8/fp8 (num_pages, Hkv, page_size, D)
+    k_scales: jnp.ndarray  # f32 (num_pages, Hkv, 1, page_size)
+    v_pages: jnp.ndarray
+    v_scales: jnp.ndarray
+    block_tables: jnp.ndarray  # (B, pages_per_seq) int32
+    seq_lens: jnp.ndarray  # (B,) int32
+
+    @property
+    def page_size(self):
+        return self.k_pages.shape[2]
+
+
+def paged_quant_init(batch, hkv, num_pages, page_size, pages_per_seq, d,
+                     qdtype="int8", block_tables=None):
+    from .quant import _QDTYPES
+
+    dt, _ = _QDTYPES[qdtype]
+    if block_tables is None:
+        assert num_pages >= batch * pages_per_seq
+        block_tables = (
+            jnp.arange(batch * pages_per_seq, dtype=jnp.int32)
+            .reshape(batch, pages_per_seq)
+        )
+    z = jnp.zeros((num_pages, hkv, page_size, d), dt)
+    zs = jnp.ones((num_pages, hkv, 1, page_size), jnp.float32)
+    return QuantPagedKVCache(
+        z, zs, jnp.zeros_like(z), jnp.ones_like(zs),
+        jnp.asarray(block_tables, jnp.int32),
+        jnp.zeros((batch,), jnp.int32),
+    )
+
+
+def _qdtype_of(cache):
+    from .quant import _QDTYPES
+
+    return next(
+        name for name, (dt, _) in _QDTYPES.items()
+        if dt == cache.k_pages.dtype
+    )
+
+
+def paged_quant_prefill(cache: QuantPagedKVCache, k, v, seq_lens):
+    """Quantize dense k/v (B, Hkv, S, D) per token and write into pages."""
+    from .quant import quantize_tensor
+
+    _, hkv, ps, d = cache.k_pages.shape
+    b, _, s, _ = k.shape
+    assert s % ps == 0, (s, ps)
+    nblk = s // ps
+    bt = cache.block_tables[:, :nblk]
+    qdtype = _qdtype_of(cache)
+
+    # per-token scales: (B, Hkv, S) -> (B, nblk, Hkv, 1, ps)
+    def scatter2(pages, scales, x):
+        x_q, x_s = quantize_tensor(x, qdtype)
+        xb = x_q.reshape(b, hkv, nblk, ps, d).transpose(0, 2, 1, 3, 4)
+        sb = x_s.reshape(b, hkv, nblk, ps).transpose(0, 2, 1, 3)[:, :, :, None, :]
+        return (
+            pages.at[bt].set(xb.astype(pages.dtype)),
+            scales.at[bt].set(sb),
+        )
+
+    kp, ks = scatter2(cache.k_pages, cache.k_scales, k)
+    vp, vs = scatter2(cache.v_pages, cache.v_scales, v)
+    return cache._replace(
+        k_pages=kp, k_scales=ks, v_pages=vp, v_scales=vs,
+        seq_lens=jnp.asarray(seq_lens, jnp.int32),
+    )
+
+
+def paged_quant_append(cache: QuantPagedKVCache, k_new, v_new):
+    """Quantize + append ONE token per sequence."""
+    from .quant import quantize_tensor
+
+    ps = cache.page_size
+    pos = cache.seq_lens
+    page = jnp.take_along_axis(
+        cache.block_tables, (pos // ps)[:, None], axis=1
+    )[:, 0]
+    off = pos % ps
+    qdtype = _qdtype_of(cache)
+
+    def scatter(pages, scales, x):
+        x_q, x_s = quantize_tensor(x, qdtype)  # (B,Hkv,1,D), (B,Hkv,1)
+        return (
+            pages.at[page, :, off, :].set(
+                x_q[:, :, 0, :].astype(pages.dtype)
+            ),
+            scales.at[page, :, 0, off].set(x_s[:, :, 0]),
+        )
+
+    kp, ks = scatter(cache.k_pages, cache.k_scales, k_new)
+    vp, vs = scatter(cache.v_pages, cache.v_scales, v_new)
+    return cache._replace(
+        k_pages=kp, k_scales=ks, v_pages=vp, v_scales=vs, seq_lens=pos + 1,
+    )
+
+
+def paged_quant_decode_attention(q, cache: QuantPagedKVCache, scale,
+                                 softcap=None, backend=None):
+    """Decode attention against the quantized paged cache; same (out, lse)
+    partial contract as paged_decode_attention."""
+    from ..config import get_backend
+
+    resolved = get_backend(backend)
+    if resolved == "xla":
+        return _xla_quant_paged_decode(q, cache, scale, softcap)
+    return _pallas_quant_paged_decode(
+        q, cache, scale, softcap,
+        interpret=(resolved == "pallas_interpret"),
+    )
+
+
+def _xla_quant_paged_decode(q, cache, scale, softcap):
+    _, hkv, ps, d = cache.k_pages.shape
+    b, npages = cache.block_tables.shape
+
+    def gather(pages, scales):
+        g = pages[cache.block_tables].astype(jnp.float32)
+        s_ = scales[cache.block_tables]  # (B, npages, Hkv, 1, ps)
+        deq = g * s_.transpose(0, 1, 2, 4, 3)  # (B,npages,Hkv,ps,D)
+        return deq.transpose(0, 2, 1, 3, 4).reshape(b, hkv, npages * ps, d)
+
+    k = gather(cache.k_pages, cache.k_scales)
+    v = gather(cache.v_pages, cache.v_scales)
+    hq, tq = q.shape[1], q.shape[2]
+    g_ = hq // hkv
+    qf = q.astype(jnp.float32).reshape(b, hkv, g_ * tq, d)
+    logits = jnp.einsum("bhqd,bhkd->bhqk", qf, k) * scale
+    if softcap:
+        logits = softcap * jnp.tanh(logits / softcap)
+    valid = (
+        jnp.arange(k.shape[2], dtype=jnp.int32)[None, None, None, :]
+        < cache.seq_lens[:, None, None, None]
+    )
+    logits = jnp.where(valid, logits, NEG_INF)
+    m = jnp.max(logits, axis=-1, keepdims=True)
+    p = jnp.exp(logits - m)
+    l = jnp.sum(p, axis=-1, keepdims=True)
+    out = jnp.einsum("bhqk,bhkd->bhqd", p, v) / l
+    lse = (m + jnp.log(l))[..., 0]
+    return out.reshape(b, hq, tq, d), lse.reshape(b, hq, tq)
+
+
+def _quant_paged_kernel(
+    bt_ref,
+    len_ref,
+    q_ref,  # (1, Hkv, rows, D) f32 pre-scaled
+    k_ref,  # (1, Hkv, page_size, D) quantized
+    ks_ref,  # (1, Hkv, 1, page_size) f32
+    v_ref,
+    vs_ref,
+    out_ref,
+    lse_ref,
+    m_s,
+    l_s,
+    acc_s,
+    *,
+    softcap,
+    hkv,
+    page_size,
+    npages,
+):
+    b_id = pl.program_id(0)
+    i = pl.program_id(1)
+    seq_len = len_ref[b_id]
+    valid_pages = jnp.maximum((seq_len + page_size - 1) // page_size, 1)
+
+    @pl.when(i == 0)
+    def _():
+        m_s[:, :, :1] = jnp.full(m_s[:, :, :1].shape, NEG_INF, jnp.float32)
+        l_s[:, :, :1] = jnp.zeros(l_s[:, :, :1].shape, jnp.float32)
+        acc_s[...] = jnp.zeros_like(acc_s)
+
+    @pl.when(i < valid_pages)
+    def _compute():
+        pos = i * page_size + jax.lax.broadcasted_iota(
+            jnp.int32, (1, page_size), 1
+        )
+        live = pos < seq_len
+        for h in range(hkv):
+            # int8/fp8 cast to bf16 feeds the MXU at full rate; per-token
+            # scales fold into the (rows, page) logits afterwards
+            s = jax.lax.dot_general(
+                q_ref[0, h].astype(jnp.bfloat16),
+                k_ref[0, h].astype(jnp.bfloat16),
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * ks_ref[0, h]
+            if softcap:
+                s = softcap * jnp.tanh(s * (1.0 / softcap))
+            s = jnp.where(live, s, NEG_INF)
+            m_prev = m_s[h, :, :1]
+            m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
+            alpha = jnp.exp(m_prev - m_new)
+            p = jnp.exp(s - m_new)
+            l_s[h, :, :1] = (
+                l_s[h, :, :1] * alpha + jnp.sum(p, axis=1, keepdims=True)
+            )
+            pv = (p * vs_ref[0, h]).astype(jnp.bfloat16)
+            acc_s[h] = acc_s[h] * alpha + jax.lax.dot_general(
+                pv, v_ref[0, h].astype(jnp.bfloat16),
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            m_s[h, :, :1] = m_new
+
+    @pl.when(i == npages - 1)
+    def _flush():
+        for h in range(hkv):
+            l = l_s[h, :, :1]
+            dead = jnp.logical_or(l == 0.0, m_s[h, :, :1] <= NEG_INF / 2)
+            l_safe = jnp.where(l == 0.0, 1.0, l)
+            out_ref[0, h] = jnp.where(dead, 0.0, acc_s[h] / l_safe)
+            lse_ref[0, h] = jnp.where(
+                dead, NEG_INF, m_s[h, :, :1] + jnp.log(l_safe)
+            )
+
+
+def _pallas_quant_paged_decode(q, cache, scale, softcap, interpret=False):
+    b, hq, tq, d = q.shape
+    num_pages, hkv, ps, _ = cache.k_pages.shape
+    g = hq // hkv
+    rows = g * tq
+    npages = cache.block_tables.shape[1]
+
+    qf = (q.astype(jnp.float32) * scale).reshape(b, hkv, rows, d)
+    bt = cache.block_tables.reshape(-1)
+    lens = jnp.asarray(cache.seq_lens, jnp.int32)
+
+    def q_index(bi, i, bt_ref, len_ref):
+        return (bi, 0, 0, 0)
+
+    def page_index(bi, i, bt_ref, len_ref):
+        seq_len = len_ref[bi]
+        valid = jnp.maximum((seq_len + ps - 1) // ps, 1)
+        ii = jnp.minimum(i, valid - 1)
+        return (bt_ref[bi * npages + ii], 0, 0, 0)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(b, npages),
+        in_specs=[
+            pl.BlockSpec((1, hkv, rows, d), q_index,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, hkv, ps, d), page_index,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, hkv, 1, ps), page_index,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, hkv, ps, d), page_index,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, hkv, 1, ps), page_index,
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=[
+            pl.BlockSpec((1, hkv, rows, d), q_index,
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, hkv, rows, 1), q_index,
+                         memory_space=pltpu.VMEM),
+        ],
+        scratch_shapes=[
+            pltpu.VMEM((hkv, rows, 128), jnp.float32),
+            pltpu.VMEM((hkv, rows, 128), jnp.float32),
+            pltpu.VMEM((hkv, rows, d), jnp.float32),
+        ],
+    )
+    out, lse = pl.pallas_call(
+        functools.partial(
+            _quant_paged_kernel, softcap=softcap, hkv=hkv, page_size=ps,
+            npages=npages,
+        ),
+        grid_spec=grid_spec,
+        out_shape=[
+            jax.ShapeDtypeStruct((b, hkv, rows, d), jnp.float32),
+            jax.ShapeDtypeStruct((b, hkv, rows, 1), jnp.float32),
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "arbitrary"),
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
+        interpret=interpret,
+    )(bt, lens, qf, cache.k_pages, cache.k_scales, cache.v_pages,
+      cache.v_scales)
+    return out.reshape(b, hq, tq, d), lse.reshape(b, hq, tq)

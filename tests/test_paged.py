@@ -140,3 +140,57 @@ def test_paged_lse_merge_contract(filled):
     out, _ = merge_partials(oa, la, ob, lb)
     ro, _ = _dense_ref(q, k, v, lens)
     assert jnp.max(jnp.abs(out - ro)) < 1e-5
+
+
+# ---------------------------------------------------------------------------
+# Quantized paged cache (int8/fp8 pages + per-token scales)
+# ---------------------------------------------------------------------------
+
+
+@pytest.mark.parametrize("qdtype,tol", [("int8", 0.02), ("fp8_e4m3", 0.12)])
+def test_quant_paged_decode_vs_oracle(filled, qdtype, tol):
+    from ring_flash_attn_tpu.ops.paged import (
+        paged_quant_init, paged_quant_prefill, paged_quant_decode_attention,
+    )
+
+    cache_f, k, v, lens = filled
+    rng = np.random.RandomState(1)
+    perm = rng.permutation(B * NPAGES_SEQ).reshape(B, NPAGES_SEQ)
+    qc = paged_quant_init(B, HKV, B * NPAGES_SEQ, PS, NPAGES_SEQ, D,
+                          qdtype=qdtype, block_tables=perm)
+    qc = paged_quant_prefill(qc, k, v, lens)
+    q = jax.random.normal(jax.random.PRNGKey(0), (B, HQ, 1, D), jnp.float32)
+
+    ro, rl = _dense_ref(q, k, v, lens)
+    go, gl = paged_quant_decode_attention(q, qc, SCALE, backend="xla")
+    assert jnp.max(jnp.abs(go - ro)) < tol, qdtype
+    po, plse = paged_quant_decode_attention(q, qc, SCALE,
+                                            backend="pallas_interpret")
+    # pallas vs xla on the SAME quantized cache: tight
+    assert jnp.max(jnp.abs(po - go)) < 5e-3
+    assert jnp.max(jnp.abs(plse - gl)) < 5e-3
+
+
+def test_quant_paged_append(filled):
+    from ring_flash_attn_tpu.ops.paged import (
+        paged_quant_init, paged_quant_prefill, paged_quant_append,
+        paged_quant_decode_attention,
+    )
+
+    _, k, v, lens = filled
+    qc = paged_quant_init(B, HKV, B * NPAGES_SEQ, PS, NPAGES_SEQ, D)
+    qc = paged_quant_prefill(qc, k, v, lens)
+    knew = jax.random.normal(jax.random.PRNGKey(5), (B, HKV, 1, D),
+                             jnp.float32)
+    vnew = jax.random.normal(jax.random.PRNGKey(6), (B, HKV, 1, D),
+                             jnp.float32)
+    qc = paged_quant_append(qc, knew, vnew)
+    kd, vd = jnp.array(k), jnp.array(v)
+    for b in range(B):
+        pos = int(lens[b])
+        kd = kd.at[b, :, pos].set(knew[b, :, 0])
+        vd = vd.at[b, :, pos].set(vnew[b, :, 0])
+    q = jax.random.normal(jax.random.PRNGKey(7), (B, HQ, 1, D), jnp.float32)
+    ro, _ = _dense_ref(q, kd, vd, lens + 1)
+    go, _ = paged_quant_decode_attention(q, qc, SCALE, backend="xla")
+    assert jnp.max(jnp.abs(go - ro)) < 0.02
