@@ -164,3 +164,12 @@ def test_flash_attention_custom_vjp(data):
     g2 = jax.grad(loss_ref, (0, 1, 2))(q, k, v)
     for a, b in zip(g1, g2):
         assert jnp.max(jnp.abs(a - b)) < 5e-5
+
+
+def test_bwd_fused_gate_long_kv():
+    """pallas_block_bwd auto-selects the split kernels when the fused
+    kernel's resident dk/dv accumulators would exceed the VMEM budget."""
+    from ring_flash_attn_tpu.ops.pallas_bwd_fused import fused_bwd_supported
+
+    assert fused_bwd_supported(8192, 128)  # headline shape fits
+    assert not fused_bwd_supported(64 * 1024, 128)  # 64k KV falls back
