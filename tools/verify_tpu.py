@@ -148,15 +148,79 @@ def check_schedule_w1(sq=4096, d=128):
         )
 
 
+def check_decode_kernels():
+    """Serving-path kernels Mosaic-compiled: quantized contiguous decode,
+    paged decode, and quantized paged decode vs their XLA oracles."""
+    from ring_flash_attn_tpu.ops.quant import (
+        quantize_kv, quant_decode_attention,
+    )
+    from ring_flash_attn_tpu.ops.paged import (
+        paged_init, paged_prefill, paged_decode_attention,
+        paged_quant_init, paged_quant_prefill, paged_quant_decode_attention,
+    )
+
+    B, HQ, HKV, D, PS, NP = 4, 32, 8, 128, 512, 8
+    rng = np.random.RandomState(0)
+    perm = rng.permutation(B * NP).reshape(B, NP)
+    k = jax.random.normal(jax.random.PRNGKey(1), (B, HKV, PS * NP, D),
+                          jnp.bfloat16)
+    v = jax.random.normal(jax.random.PRNGKey(2), (B, HKV, PS * NP, D),
+                          jnp.bfloat16)
+    lens = jnp.asarray(rng.randint(PS, PS * NP, size=B), jnp.int32)
+    q = jax.random.normal(jax.random.PRNGKey(0), (B, HQ, 1, D),
+                          jnp.bfloat16)
+    scale = D**-0.5
+
+    cache = paged_init(B, HKV, B * NP, PS, NP, D, jnp.bfloat16,
+                       block_tables=perm)
+    cache = jax.jit(paged_prefill)(cache, k, v, lens)
+    ro, rl = jax.jit(lambda q_: paged_decode_attention(
+        q_, cache, scale, backend="xla"))(q)
+    go, gl = jax.jit(lambda q_: paged_decode_attention(q_, cache, scale))(q)
+    _report("paged-decode", "out", float(jnp.max(jnp.abs(go - ro))), 2e-2)
+    _report("paged-decode", "lse", float(jnp.max(jnp.abs(gl - rl))), 2e-2)
+
+    qc = paged_quant_init(B, HKV, B * NP, PS, NP, D, block_tables=perm)
+    qc = jax.jit(paged_quant_prefill)(qc, k, v, lens)
+    ro, rl = jax.jit(lambda q_: paged_quant_decode_attention(
+        q_, qc, scale, backend="xla"))(q)
+    go, gl = jax.jit(lambda q_: paged_quant_decode_attention(
+        q_, qc, scale))(q)
+    _report("quant-paged-decode", "out",
+            float(jnp.max(jnp.abs(go - ro))), 2e-2)
+    _report("quant-paged-decode", "lse",
+            float(jnp.max(jnp.abs(gl - rl))), 2e-2)
+
+    ccache = quantize_kv(k[:1], v[:1])
+    ro, rl = jax.jit(lambda q_: quant_decode_attention(
+        q_, ccache, PS * NP - 100, scale, backend="xla"))(q[:1])
+    go, gl = jax.jit(lambda q_: quant_decode_attention(
+        q_, ccache, PS * NP - 100, scale))(q[:1])
+    _report("quant-decode", "out", float(jnp.max(jnp.abs(go - ro))), 2e-2)
+    _report("quant-decode", "lse", float(jnp.max(jnp.abs(gl - rl))), 2e-2)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--quick", action="store_true")
+    ap.add_argument("--decode-only", action="store_true",
+                    help="run only the serving-path kernel checks")
     args = ap.parse_args()
 
     dev = jax.devices()[0]
     print(f"device: {dev.platform} / {dev.device_kind}")
     if dev.platform == "cpu":
         print("WARNING: running on CPU — this gate is meant for a TPU chip")
+
+    if args.decode_only:
+        check_decode_kernels()
+        if FAILURES:
+            print(f"\n{len(FAILURES)} FAILURES:")
+            for f in FAILURES:
+                print("  ", f)
+            sys.exit(1)
+        print("\nALL PASS (decode kernels)")
+        return
 
     if args.quick:
         shape = dict(sq=2048, skv=2048)
@@ -217,6 +281,7 @@ def main():
     )
     if not args.quick:
         check_schedule_w1()
+        check_decode_kernels()
 
     if FAILURES:
         print(f"\n{len(FAILURES)} FAILURES:")
