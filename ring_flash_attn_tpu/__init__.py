@@ -12,7 +12,7 @@ Public API mirrors the reference's 18 attention entry points
 (reference ring_flash_attn/__init__.py:1-35) plus TPU-native extras.
 """
 
-__version__ = "0.1.0"
+__version__ = "0.3.0"
 
 from .api import *  # noqa: F401,F403
 from .api import __all__ as _api_all

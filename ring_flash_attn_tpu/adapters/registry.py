@@ -156,7 +156,12 @@ def _impl_ulysses(q, k, v, *, scale=None, causal=True, axis_name=None,
 def _impl_fused_ring(q, k, v, *, scale=None, causal=True, axis_name=None,
                      segment_ids=None, positions=None, softcap=None,
                      alibi_slopes=None, dropout_p=None, dropout_seed=None,
-                     window_left=None, **kw):
+                     window_left=None, backend=None, **kw):
+    # backend= is part of the registry's uniform impl signature; map it to
+    # the fused ring's schedule-backward backend so impls stay
+    # interchangeable for config-driven frameworks.
+    if backend is not None:
+        kw.setdefault("bwd_backend", backend)
     assert not any(
         x is not None
         for x in (segment_ids, positions, softcap, alibi_slopes, dropout_p,

@@ -98,23 +98,33 @@ def paged_prefill(cache: PagedKVCache, k, v, seq_lens):
 
 def paged_append(cache: PagedKVCache, k_new, v_new):
     """Append ONE token per sequence (the decode step): k_new/v_new
-    (B, Hkv, 1, D). Returns the cache with seq_lens advanced."""
+    (B, Hkv, 1, D). Returns the cache with seq_lens advanced.
+
+    Appending past capacity (seq_lens == pages_per_seq * page_size) would
+    silently clobber the last page (the block-table gather clamps), so the
+    write is dropped and seq_lens pinned at capacity instead — decode reads
+    stay correct over the tokens that actually fit."""
     ps = cache.page_size
-    pos = cache.seq_lens  # (B,)
+    capacity = cache.block_tables.shape[1] * ps
+    pos = jnp.minimum(cache.seq_lens, capacity - 1)  # (B,) write slot
+    at_cap = cache.seq_lens >= capacity
     page = jnp.take_along_axis(
         cache.block_tables, (pos // ps)[:, None], axis=1
     )[:, 0]  # (B,)
     off = pos % ps
 
     def scatter(pages, x):
-        # x (B, Hkv, 1, D) -> (B, Hkv, D)
+        # x (B, Hkv, 1, D) -> (B, Hkv, D); at-capacity rows rewrite their
+        # current contents (no-op) instead of clobbering a live slot
         xt = x[:, :, 0, :].astype(pages.dtype)
+        old_row = pages[page, :, off, :]
+        xt = jnp.where(at_cap[:, None, None], old_row, xt)
         return pages.at[page, :, off, :].set(xt)
 
     return cache._replace(
         k_pages=scatter(cache.k_pages, k_new),
         v_pages=scatter(cache.v_pages, v_new),
-        seq_lens=pos + 1,
+        seq_lens=jnp.minimum(cache.seq_lens + 1, capacity),
     )
 
 
@@ -172,6 +182,12 @@ def _xla_paged_decode(q, cache, scale, softcap):
     l = jnp.sum(p, axis=-1, keepdims=True)
     out = jnp.einsum("bhqk,bhkd->bhqd", p, v.astype(jnp.float32)) / l
     lse = (m + jnp.log(l))[..., 0]
+    # Dead rows (seq_lens == 0: every logit at the sentinel) must match the
+    # Pallas kernel's out=0 / lse=NEG_INF so standalone use agrees across
+    # backends (merge_partials already weight-zeroes them either way).
+    dead = (cache.seq_lens == 0)[:, None, None]
+    out = jnp.where(dead[..., None], 0.0, out)
+    lse = jnp.where(dead, NEG_INF, lse)
     return (
         out.reshape(b, hq, tq, d),
         lse.reshape(b, hq, tq),

@@ -49,6 +49,27 @@ from .mesh import ring_size
 
 DEFAULT_BLOCK_Q = 512
 
+_VMEM_BUDGET = 80 * 1024 * 1024
+
+
+def _bwd_vmem_bytes(l_local, d, group, itemsize):
+    """Per-(batch, kv-head) VMEM working set of the fused backward kernel:
+    k/v in + 2-slot kv comm (itemsize) + f32 dkv comm slots + dk/dv
+    accumulators + the group-sized dq accumulator. Shared by the assert in
+    _fused_ring_backward and the bwd_mode="auto" gate so the gate can never
+    admit a shape the kernel will reject at grad time."""
+    return (
+        6 * l_local * d * itemsize
+        + 4 * l_local * d * 4
+        + 2 * l_local * d * 4
+        + group * l_local * d * 4
+    )
+
+
+def fused_ring_bwd_supported(l_local, d, group, itemsize):
+    """True iff the fused in-kernel backward's working set fits VMEM."""
+    return _bwd_vmem_bytes(l_local, d, group, itemsize) < _VMEM_BUDGET
+
 
 def _fused_ring_fwd_kernel(
     q_hbm,  # (B, Hq, L, D) pre-scaled q, HBM — streamed per (g, q-block)
@@ -318,7 +339,7 @@ def _fused_ring_forward(q, k, v, *, scale, causal, axis_name,
         + group * l_local * d_ * 4  # acc f32
         + group * l_local * 128 * 4  # packed m/l/lse stats (128-lane tiles)
     )
-    assert vmem < 80 * 1024 * 1024, (
+    assert vmem < _VMEM_BUDGET, (
         f"fused ring working set {vmem / 1e6:.1f}MB exceeds VMEM; use "
         "parallel.ring.ring_attention for this shape"
     )
@@ -702,13 +723,8 @@ def _fused_ring_backward(q, k, v, dout, out, lse, *, scale, causal,
     # qs/dout/lse/delta stream from HBM per q-block and dq/dk/dv are
     # DMA'd out, so the residents are kv + comm slots + accumulators.
     # Headline shape (L=8192, group=4, D=128): ~56MB + spill slack.
-    vmem = (
-        6 * l_local * d_ * k.dtype.itemsize  # k/vs in + comm_kv slots
-        + 4 * l_local * d_ * 4  # comm_dkv f32
-        + 2 * l_local * d_ * 4  # dk_s/dv_s
-        + group * l_local * d_ * 4  # dq accumulator
-    )
-    assert vmem < 80 * 1024 * 1024, (
+    vmem = _bwd_vmem_bytes(l_local, d_, group, k.dtype.itemsize)
+    assert vmem < _VMEM_BUDGET, (
         f"fused ring bwd working set {vmem / 1e6:.1f}MB exceeds VMEM; use "
         "the schedule-level backward for this shape"
     )
@@ -826,12 +842,14 @@ def fused_ring_attention(q, k, v, *, scale, causal, axis_name,
         dout, _ = grads
         mode = bwd_mode
         if mode == "auto":
-            _, hkv = q.shape[1], k.shape[1]
-            ws = (
-                (2 * q.shape[1] // k.shape[1] + 8) * k.shape[2]
-                * k.shape[3] * 4
+            mode = (
+                "fused"
+                if fused_ring_bwd_supported(
+                    k.shape[2], k.shape[3], q.shape[1] // k.shape[1],
+                    k.dtype.itemsize,
+                )
+                else "schedule"
             )
-            mode = "fused" if ws < 100 * 1024 * 1024 else "schedule"
         if mode == "fused":
             dq, dk, dv = _fused_ring_backward(
                 q, k, v, dout, out, lse, scale=scale, causal=causal,

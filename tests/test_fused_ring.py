@@ -105,3 +105,22 @@ def test_fused_ring_grad(devices8, data, bwd_mode, causal):
     )(q, k, v)
     for a, b in zip(g1, g2):
         assert jnp.max(jnp.abs(a - b)) < 1e-4
+
+
+def test_bwd_auto_gate_matches_kernel_assert():
+    """bwd_mode='auto' must use the SAME working-set expression as the
+    fused backward's assert — shapes the gate admits must never crash at
+    grad time (ADVICE r2)."""
+    from ring_flash_attn_tpu.parallel.fused_ring import (
+        _VMEM_BUDGET,
+        _bwd_vmem_bytes,
+        fused_ring_bwd_supported,
+    )
+
+    # The r2 bug shape: L=16384, D=128, MHA (group=1), bf16 — the old gate
+    # admitted it ((2g+8)*L*D*4 = 80MB < 100MB) but the kernel assert
+    # rejects it ((36+4g)*L*D = 80MB >= 80MB).
+    assert not fused_ring_bwd_supported(16384, 128, 1, 2)
+    # Headline shape stays admitted: L=8192, D=128, group=4, bf16.
+    assert fused_ring_bwd_supported(8192, 128, 4, 2)
+    assert _bwd_vmem_bytes(8192, 128, 4, 2) < _VMEM_BUDGET

@@ -194,3 +194,43 @@ def test_quant_paged_append(filled):
     ro, _ = _dense_ref(q, kd, vd, lens + 1)
     go, _ = paged_quant_decode_attention(q, qc, SCALE, backend="xla")
     assert jnp.max(jnp.abs(go - ro)) < 0.02
+
+
+def test_paged_append_capacity_guard(filled):
+    """Appending past capacity must not clobber live pages: the write is
+    dropped and seq_lens pins at capacity (ADVICE r2)."""
+    cache, k, v, lens = filled
+    cap = cache.block_tables.shape[1] * cache.page_size
+    full = cache._replace(seq_lens=jnp.full_like(cache.seq_lens, cap))
+    kn = jnp.full((B, HKV, 1, D), 7.0, jnp.float32)
+    out = paged_append(full, kn, kn)
+    assert int(out.seq_lens.max()) == cap
+    np.testing.assert_array_equal(
+        np.asarray(out.k_pages), np.asarray(full.k_pages)
+    )
+    np.testing.assert_array_equal(
+        np.asarray(out.v_pages), np.asarray(full.v_pages)
+    )
+
+
+def test_paged_decode_dead_row_backend_parity(filled):
+    """seq_lens==0 rows: XLA oracle and Pallas kernel must both return
+    out=0 / lse=NEG_INF (ADVICE r2)."""
+    from ring_flash_attn_tpu.ops.mask import NEG_INF
+
+    cache, k, v, lens = filled
+    dead = cache._replace(
+        seq_lens=cache.seq_lens.at[0].set(0)
+    )
+    q = jax.random.normal(jax.random.PRNGKey(5), (B, HQ, 1, D), jnp.float32)
+    ox, lx = paged_decode_attention(q, dead, SCALE, backend="xla")
+    op, lp = paged_decode_attention(
+        q, dead, SCALE, backend="pallas_interpret"
+    )
+    np.testing.assert_array_equal(np.asarray(ox[0]), 0.0)
+    np.testing.assert_array_equal(np.asarray(op[0]), 0.0)
+    assert float(lx[0].max()) <= NEG_INF / 2
+    assert float(lp[0].max()) <= NEG_INF / 2
+    np.testing.assert_allclose(
+        np.asarray(ox[1]), np.asarray(op[1]), atol=2e-3, rtol=2e-3
+    )
