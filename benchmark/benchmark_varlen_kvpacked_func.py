@@ -37,8 +37,79 @@ def timed(step, x0, n=10):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--fwd-only", action="store_true")
+    ap.add_argument(
+        "--single-chip", action="store_true",
+        help="benchmark the raw varlen kernel on one chip (the reference's "
+        "'theoretic flash_attn' baseline, reference README.md:91-98)",
+    )
     args = ap.parse_args()
-    run(len(jax.devices()), args.fwd_only)
+    if args.single_chip:
+        run_single_chip()
+    else:
+        run(len(jax.devices()), args.fwd_only)
+
+
+# The reference's exact packed-8k configs
+# (reference benchmark/benchmark_varlen_kvpacked_func.py:53-60)
+CU_SEQLENS_LIST = [
+    [0, 8192],
+    [0, 256, 7648, 8192],
+    [0, 4096, 8192],
+    [0, 3104, 6304, 7904, 8064, 8192],
+]
+PEAK = 197e12  # v5e bf16
+
+
+def run_single_chip(n=20):
+    """Single-chip varlen fwd / fwd+bwd at the reference benchmark shapes.
+
+    %-of-peak uses the true masked FLOPs (sum of per-sequence causal
+    triangles), so it is comparable with the batch kernel's %-of-peak
+    numbers: equal % = equal per-FLOP efficiency."""
+    from ring_flash_attn_tpu.api import flash_attn_varlen_kvpacked_func
+
+    t = SEQ_PER_DEV
+    q = jax.random.normal(jax.random.PRNGKey(0), (t, HQ, D), jnp.bfloat16)
+    kv = jax.random.normal(
+        jax.random.PRNGKey(1), (t, 2, HKV, D), jnp.bfloat16
+    )
+    dout = jax.random.normal(jax.random.PRNGKey(3), (t, HQ, D), jnp.bfloat16)
+
+    print(f"single-chip varlen kernel, packed T={t}, {HQ}q/{HKV}kv heads, "
+          f"D={D}, causal bf16 (reference benchmark config)")
+    results = []
+    for cu in CU_SEQLENS_LIST:
+        lens = np.diff(np.asarray(cu))
+        flops_fwd = float(4 * HQ * D * np.sum(lens.astype(np.float64) ** 2)
+                          * 0.5)
+        cu_j = jnp.asarray(cu, jnp.int32)
+
+        fwd = jax.jit(lambda q_: flash_attn_varlen_kvpacked_func(
+            q_, kv, cu_j, causal=True).astype(jnp.bfloat16))
+
+        def loss(q_):
+            return jnp.sum(
+                flash_attn_varlen_kvpacked_func(q_, kv, cu_j, causal=True)
+                .astype(jnp.float32) * dout.astype(jnp.float32)
+            )
+
+        grad = jax.jit(jax.grad(loss))
+        gstep = lambda q_: grad(q_).astype(jnp.bfloat16)
+
+        t_f = timed(fwd, q, n)
+        # one grad call = custom_vjp fwd + bwd (same convention as bench.py)
+        t_fb = timed(gstep, q, n)
+        pf = flops_fwd / t_f / PEAK * 100
+        pfb = flops_fwd * 3.5 / (t_fb) / PEAK * 100
+        results.append((cu, 1 / t_f, pf, 1 / t_fb, pfb))
+        print(f"  cu={str(cu):42s} fwd {t_f*1e3:6.2f} ms ({pf:4.1f}% peak, "
+              f"{1/t_f:6.1f} it/s) | fwd+bwd {t_fb*1e3:6.2f} ms "
+              f"({pfb:4.1f}% peak, {1/t_fb:5.1f} it/s)")
+    mean_pf = float(np.mean([r[2] for r in results]))
+    mean_pfb = float(np.mean([r[4] for r in results]))
+    print(f"  mean: fwd {mean_pf:.1f}% of peak, fwd+bwd {mean_pfb:.1f}% "
+          "of peak")
+    return results
 
 
 def run(world, fwd_only):

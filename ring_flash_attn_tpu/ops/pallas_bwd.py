@@ -57,6 +57,8 @@ def _dq_kernel(
     info_ref,
     iq_map_ref,
     ikv_map_ref,
+    qmeta_ref,  # (6, n_q) int32 block bounds (pallas_fwd.block_meta)
+    kvmeta_ref,  # (6, n_kv) int32 block bounds (kv_sub == blk_kv here)
     *refs,
     causal,
     use_positions,
@@ -99,18 +101,10 @@ def _dq_kernel(
             num_kv_blocks,
         )
         is_last = ikv == nkv_needed - 1
-        should_compute = True
     else:
         iq = pl.program_id(2)
         ikv = pl.program_id(3)
         is_last = ikv == num_kv_blocks - 1
-        if causal and not use_positions:
-            last_needed = jnp.maximum(
-                ((iq + 1) * blk_q - 1 + rel) // blk_kv, 0
-            )
-            should_compute = ikv <= last_needed
-        else:
-            should_compute = True
 
     @pl.when(ikv == 0)
     def _init():
@@ -194,23 +188,44 @@ def _dq_kernel(
             preferred_element_type=jnp.float32,
         )
 
-    if (causal and not use_positions and not use_segments
-            and window_left is None):
-        on_diag = (iq * blk_q + rel) < ((ikv + 1) * blk_kv - 1)
+    # Block-granular three-way dispatch (skip / mask-free / masked) from
+    # scalar block bounds — see _fwd_kernel for the derivation. Skipped
+    # blocks contribute exactly zero to dq, so omitting them is exact.
+    if causal or use_segments:
+        skip = None
+        free = None
+        if causal:
+            if use_positions:
+                lo = qmeta_ref[2, iq] - kvmeta_ref[3, ikv]
+                hi = qmeta_ref[3, iq] - kvmeta_ref[2, ikv]
+            else:
+                lo = iq * blk_q + rel - ((ikv + 1) * blk_kv - 1)
+                hi = iq * blk_q + blk_q - 1 + rel - ikv * blk_kv
+            skip = hi < 0
+            free = lo >= 0
+            if window_left is not None:
+                skip |= lo > window_left
+                free &= hi <= window_left
+        if use_segments:
+            qsmin = qmeta_ref[0, iq]
+            qsmax = qmeta_ref[1, iq]
+            ksmin = kvmeta_ref[0, ikv]
+            ksmax = kvmeta_ref[1, ikv]
+            sd = (qsmax < ksmin) | (ksmax < qsmin)
+            sf = (qsmin == qsmax) & (ksmin == ksmax) & (qsmin == ksmin)
+            skip = sd if skip is None else (skip | sd)
+            free = sf if free is None else (free & sf)
 
-        @pl.when(should_compute & on_diag)
-        def _masked():
-            _body(True)
-
-        @pl.when(should_compute & jnp.logical_not(on_diag))
+        @pl.when(jnp.logical_not(skip) & free)
         def _unmasked():
             _body(False)
 
-    else:
+        @pl.when(jnp.logical_not(skip) & jnp.logical_not(free))
+        def _masked():
+            _body(True)
 
-        @pl.when(should_compute)
-        def _compute():
-            _body(causal or use_segments)
+    else:
+        _body(False)
 
     @pl.when(is_last)
     def _flush():
@@ -229,6 +244,8 @@ def _dkv_kernel(
     ikv_map_ref,  # (P,) pair -> kv block
     first_map_ref,  # (P,) 1 iff first pair of this kv block
     last_map_ref,  # (P,) 1 iff last pair of this kv block
+    qmeta_ref,  # (6, n_q) int32 block bounds (pallas_fwd.block_meta)
+    kvmeta_ref,  # (6, n_kv) int32 block bounds (kv_sub == blk_kv here)
     *refs,
     causal,
     use_positions,
@@ -364,20 +381,45 @@ def _dkv_kernel(
             preferred_element_type=jnp.float32,
         )
 
-    if (causal and not use_positions and not use_segments
-            and window_left is None):
-        on_diag = (iq * blk_q + rel) < ((ikv + 1) * blk_kv - 1)
+    # Block-granular three-way dispatch — see _fwd_kernel. Skipped blocks
+    # contribute exactly zero to dk/dv, so omitting them is exact. (The
+    # kv-major pair enumeration already prunes above-diagonal pairs for
+    # static offsets; the predicates also cover traced-offset rings.)
+    if causal or use_segments:
+        skip = None
+        free = None
+        if causal:
+            if use_positions:
+                lo = qmeta_ref[2, iq] - kvmeta_ref[3, ikv]
+                hi = qmeta_ref[3, iq] - kvmeta_ref[2, ikv]
+            else:
+                lo = iq * blk_q + rel - ((ikv + 1) * blk_kv - 1)
+                hi = iq * blk_q + blk_q - 1 + rel - ikv * blk_kv
+            skip = hi < 0
+            free = lo >= 0
+            if window_left is not None:
+                skip |= lo > window_left
+                free &= hi <= window_left
+        if use_segments:
+            qsmin = qmeta_ref[0, iq]
+            qsmax = qmeta_ref[1, iq]
+            ksmin = kvmeta_ref[0, ikv]
+            ksmax = kvmeta_ref[1, ikv]
+            sd = (qsmax < ksmin) | (ksmax < qsmin)
+            sf = (qsmin == qsmax) & (ksmin == ksmax) & (qsmin == ksmin)
+            skip = sd if skip is None else (skip | sd)
+            free = sf if free is None else (free & sf)
 
-        @pl.when(on_diag)
-        def _masked():
-            _body(True)
-
-        @pl.when(jnp.logical_not(on_diag))
+        @pl.when(jnp.logical_not(skip) & free)
         def _unmasked():
             _body(False)
 
+        @pl.when(jnp.logical_not(skip) & jnp.logical_not(free))
+        def _masked():
+            _body(True)
+
     else:
-        _body(causal or use_segments)
+        _body(False)
 
     @pl.when(last_map_ref[p] == 1)
     def _flush():
@@ -413,29 +455,40 @@ def _dq(dout, qs, k, v, lse_adj, delta, mask, blk_q, blk_kv, interpret):
     info, offset_static, static_offset = mask_info(mask)
     triangular = causal and not use_positions and offset_static
 
+    use_meta = use_segments or use_positions
+    if use_meta:
+        from .pallas_fwd import block_meta
+
+        q_meta, kv_meta = block_meta(mask, blk_q, blk_kv, blk_kv, n_q, n_kv)
+    else:
+        q_meta = jnp.zeros((6, 1), jnp.int32)  # unused
+        kv_meta = jnp.zeros((6, 1), jnp.int32)
+
+    def _meta_clamp(qi, ki, qm):
+        if use_meta:
+            ki = jnp.clip(ki, qm[4, qi], qm[5, qi])
+        return ki
+
     if triangular:
         pairs = _triangular_pairs(n_q, n_kv, blk_q, blk_kv, static_offset)
         iq_map = jnp.asarray([x[0] for x in pairs], jnp.int32)
         ikv_map = jnp.asarray([x[1] for x in pairs], jnp.int32)
         grid = (b, hq, len(pairs))
 
-        def qi_of(p, iq_map_ref):
-            return iq_map_ref[p]
-
-        def q_index(bi, hi, p, info_ref, iqm, ikvm):
+        def q_index(bi, hi, p, info_ref, iqm, ikvm, qm, km):
             return (bi, hi, iqm[p], 0)
 
-        def kv_index(bi, hi, p, info_ref, iqm, ikvm):
-            return (bi, hi // group, ikvm[p], 0)
+        def kv_index(bi, hi, p, info_ref, iqm, ikvm, qm, km):
+            return (bi, hi // group, _meta_clamp(iqm[p], ikvm[p], qm), 0)
 
-        def lse_index(bi, hi, p, info_ref, iqm, ikvm):
+        def lse_index(bi, hi, p, info_ref, iqm, ikvm, qm, km):
             return (bi, hi, iqm[p], 0)
 
-        def qvec_index(bi, hi, p, info_ref, iqm, ikvm):
+        def qvec_index(bi, hi, p, info_ref, iqm, ikvm, qm, km):
             return (0, iqm[p])
 
-        def kvec_index(bi, hi, p, info_ref, iqm, ikvm):
-            return (0, ikvm[p])
+        def kvec_index(bi, hi, p, info_ref, iqm, ikvm, qm, km):
+            return (0, _meta_clamp(iqm[p], ikvm[p], qm))
 
         dim_semantics = ("parallel", "parallel", "arbitrary")
     else:
@@ -443,7 +496,7 @@ def _dq(dout, qs, k, v, lse_adj, delta, mask, blk_q, blk_kv, interpret):
         ikv_map = jnp.zeros((1,), jnp.int32)
         grid = (b, hq, n_q, n_kv)
 
-        def _clamp_kv(qi, ki, info_ref):
+        def _clamp_kv(qi, ki, info_ref, qm):
             if causal and not use_positions:
                 # info[0]-info[1] = the relative q-vs-kv shift
                 last_needed = jnp.maximum(
@@ -451,22 +504,22 @@ def _dq(dout, qs, k, v, lse_adj, delta, mask, blk_q, blk_kv, interpret):
                     // blk_kv, 0
                 )
                 ki = jnp.minimum(ki, jnp.minimum(last_needed, n_kv - 1))
-            return ki
+            return _meta_clamp(qi, ki, qm)
 
-        def q_index(bi, hi, qi, ki, info_ref, iqm, ikvm):
+        def q_index(bi, hi, qi, ki, info_ref, iqm, ikvm, qm, km):
             return (bi, hi, qi, 0)
 
-        def kv_index(bi, hi, qi, ki, info_ref, iqm, ikvm):
-            return (bi, hi // group, _clamp_kv(qi, ki, info_ref), 0)
+        def kv_index(bi, hi, qi, ki, info_ref, iqm, ikvm, qm, km):
+            return (bi, hi // group, _clamp_kv(qi, ki, info_ref, qm), 0)
 
-        def lse_index(bi, hi, qi, ki, info_ref, iqm, ikvm):
+        def lse_index(bi, hi, qi, ki, info_ref, iqm, ikvm, qm, km):
             return (bi, hi, qi, 0)
 
-        def qvec_index(bi, hi, qi, ki, info_ref, iqm, ikvm):
+        def qvec_index(bi, hi, qi, ki, info_ref, iqm, ikvm, qm, km):
             return (0, qi)
 
-        def kvec_index(bi, hi, qi, ki, info_ref, iqm, ikvm):
-            return (0, _clamp_kv(qi, ki, info_ref))
+        def kvec_index(bi, hi, qi, ki, info_ref, iqm, ikvm, qm, km):
+            return (0, _clamp_kv(qi, ki, info_ref, qm))
 
         dim_semantics = ("parallel", "parallel", "parallel", "arbitrary")
 
@@ -512,7 +565,7 @@ def _dq(dout, qs, k, v, lse_adj, delta, mask, blk_q, blk_kv, interpret):
     )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=5,
         grid=grid,
         in_specs=in_specs,
         out_specs=[
@@ -533,7 +586,7 @@ def _dq(dout, qs, k, v, lse_adj, delta, mask, blk_q, blk_kv, interpret):
             vmem_limit_bytes=64 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(info, iq_map, ikv_map, *inputs)
+    )(info, iq_map, ikv_map, q_meta, kv_meta, *inputs)
     return dq
 
 
@@ -576,21 +629,39 @@ def _dkv(dout, qs, k, v, lse, delta, mask, blk_q, blk_kv, interpret):
     first_map = jnp.asarray(first)
     last_map = jnp.asarray(last)
 
+    use_meta = use_segments or use_positions
+    if use_meta:
+        from .pallas_fwd import block_meta
+
+        q_meta, kv_meta = block_meta(mask, blk_q, blk_kv, blk_kv, n_q, n_kv)
+    else:
+        q_meta = jnp.zeros((6, 1), jnp.int32)  # unused
+        kv_meta = jnp.zeros((6, 1), jnp.int32)
+
+    def _meta_clamp_q(qi, ki, km):
+        # kv-major kernel: skipped Q blocks revisit a boundary block
+        # (no DMA); compute is skipped in-kernel by the same predicate
+        if use_meta:
+            qi = jnp.clip(qi, km[4, ki], km[5, ki])
+        return qi
+
     grid = (b, hkv, len(pairs))
 
-    def q_index(bi, hk, p, info_ref, gm, iqm, ikvm, fm, lm):
-        return (bi, hk * group + gm[p], iqm[p], 0)
+    def q_index(bi, hk, p, info_ref, gm, iqm, ikvm, fm, lm, qm, km):
+        return (bi, hk * group + gm[p],
+                _meta_clamp_q(iqm[p], ikvm[p], km), 0)
 
-    def kv_index(bi, hk, p, info_ref, gm, iqm, ikvm, fm, lm):
+    def kv_index(bi, hk, p, info_ref, gm, iqm, ikvm, fm, lm, qm, km):
         return (bi, hk, ikvm[p], 0)
 
-    def lse_index(bi, hk, p, info_ref, gm, iqm, ikvm, fm, lm):
-        return (bi, hk * group + gm[p], iqm[p], 0)
+    def lse_index(bi, hk, p, info_ref, gm, iqm, ikvm, fm, lm, qm, km):
+        return (bi, hk * group + gm[p],
+                _meta_clamp_q(iqm[p], ikvm[p], km), 0)
 
-    def qvec_index(bi, hk, p, info_ref, gm, iqm, ikvm, fm, lm):
-        return (0, iqm[p])
+    def qvec_index(bi, hk, p, info_ref, gm, iqm, ikvm, fm, lm, qm, km):
+        return (0, _meta_clamp_q(iqm[p], ikvm[p], km))
 
-    def kvec_index(bi, hk, p, info_ref, gm, iqm, ikvm, fm, lm):
+    def kvec_index(bi, hk, p, info_ref, gm, iqm, ikvm, fm, lm, qm, km):
         return (0, ikvm[p])
 
     in_specs = [
@@ -633,7 +704,7 @@ def _dkv(dout, qs, k, v, lse, delta, mask, blk_q, blk_kv, interpret):
     )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=6,
+        num_scalar_prefetch=8,
         grid=grid,
         in_specs=in_specs,
         out_specs=[
@@ -658,7 +729,8 @@ def _dkv(dout, qs, k, v, lse, delta, mask, blk_q, blk_kv, interpret):
             vmem_limit_bytes=64 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(info, g_map, iq_map, ikv_map, first_map, last_map, *inputs)
+    )(info, g_map, iq_map, ikv_map, first_map, last_map, q_meta, kv_meta,
+      *inputs)
     return dk, dv
 
 

@@ -59,6 +59,8 @@ def _bwd_fused_kernel(
     iq_map_ref,  # (P,) pair -> q block
     ikv_map_ref,  # (P,) pair -> kv block
     qlast_map_ref,  # (P,) 1 iff last kv step of this (g, q-block)
+    qmeta_ref,  # (6, n_q) int32 block bounds (see pallas_fwd.block_meta)
+    kvmeta_ref,  # (6, n_kv_sub) int32 sub-tile bounds or dummy
     *refs,
     causal,
     use_positions,
@@ -108,14 +110,6 @@ def _bwd_fused_kernel(
         pl.program_id(1) * group + g_map_ref[p]
         if (use_alibi or dropout_p) else None
     )
-
-    if triangular:
-        should_compute = True
-    elif causal and not use_positions:
-        last_needed = jnp.maximum(((iq + 1) * blk_q - 1 + rel) // blk_kv, 0)
-        should_compute = ikv <= last_needed
-    else:
-        should_compute = True
 
     @pl.when(p == 0)
     def _init_head():
@@ -221,28 +215,52 @@ def _bwd_fused_kernel(
             preferred_element_type=jnp.float32,
         )
 
+    # Per-sub-tile three-way dispatch (skip / mask-free / masked) from
+    # scalar block bounds — identical logic to _fwd_kernel; see the
+    # commentary there. Skipped tiles contribute exactly-zero gradients,
+    # so omitting them is exact.
+    if use_segments or use_positions:
+        qsmin = qmeta_ref[0, iq]
+        qsmax = qmeta_ref[1, iq]
+        qpmin = qmeta_ref[2, iq]
+        qpmax = qmeta_ref[3, iq]
+
     for t in range(n_sub):
-        if (causal and not use_positions and not use_segments
-                and window_left is None):
-            sub_start = ikv * blk_kv + t * sub
-            sub_needed = should_compute & (
-                sub_start <= (iq + 1) * blk_q - 1 + rel
-            )
-            on_diag = (iq * blk_q + rel) < (sub_start + sub - 1)
+        if causal or use_segments:
+            skip = None
+            free = None
+            jsub = ikv * n_sub + t
+            if causal:
+                if use_positions:
+                    lo = qpmin - kvmeta_ref[3, jsub]
+                    hi = qpmax - kvmeta_ref[2, jsub]
+                else:
+                    sub_start = ikv * blk_kv + t * sub
+                    lo = iq * blk_q + rel - (sub_start + sub - 1)
+                    hi = iq * blk_q + blk_q - 1 + rel - sub_start
+                skip = hi < 0
+                free = lo >= 0
+                if window_left is not None:
+                    skip |= lo > window_left
+                    free &= hi <= window_left
+            if use_segments:
+                ksmin = kvmeta_ref[0, jsub]
+                ksmax = kvmeta_ref[1, jsub]
+                sd = (qsmax < ksmin) | (ksmax < qsmin)
+                sf = (qsmin == qsmax) & (ksmin == ksmax) & (qsmin == ksmin)
+                skip = sd if skip is None else (skip | sd)
+                free = sf if free is None else (free & sf)
 
-            @pl.when(sub_needed & on_diag)
-            def _masked(t=t):
-                _body(t, True)
-
-            @pl.when(sub_needed & jnp.logical_not(on_diag))
+            @pl.when(jnp.logical_not(skip) & free)
             def _unmasked(t=t):
                 _body(t, False)
 
-        else:
+            @pl.when(jnp.logical_not(skip) & jnp.logical_not(free))
+            def _masked(t=t):
+                _body(t, True)
 
-            @pl.when(should_compute)
-            def _compute(t=t):
-                _body(t, causal or use_segments)
+        else:
+            _body(t, False)
 
     @pl.when(qlast_map_ref[p] == 1)
     def _flush_dq():
@@ -313,34 +331,47 @@ def pallas_block_bwd_fused(dout, q, k, v, lse, delta, scale,
     ikv_map = jnp.asarray([x[2] for x in pairs], jnp.int32)
     qlast_map = jnp.asarray([x[3] for x in pairs], jnp.int32)
 
-    grid = (b, hkv, len(pairs))
-    n_prefetch = 5
+    use_meta = use_segments or use_positions
+    if use_meta:
+        from .pallas_fwd import block_meta
 
-    def q_index(bi, hk, p, info_ref, gm, iqm, ikvm, qlm):
+        q_meta, kv_meta = block_meta(mask, blk_q, blk_kv, kv_sub, n_q, n_kv)
+    else:
+        q_meta = jnp.zeros((6, 1), jnp.int32)  # unused
+        kv_meta = jnp.zeros((6, 1), jnp.int32)
+
+    grid = (b, hkv, len(pairs))
+    n_prefetch = 7
+
+    def q_index(bi, hk, p, info_ref, gm, iqm, ikvm, qlm, qmm, kmm):
         return (bi, hk * group + gm[p], iqm[p], 0)
 
-    def _clamp_kv(ki, info_ref, iqm, p):
+    def _clamp_kv(ki, info_ref, iqm, p, qmm):
         if causal and not use_positions and not triangular:
             last_needed = jnp.maximum(
                 ((iqm[p] + 1) * blk_q - 1 + info_ref[0] - info_ref[1])
                 // blk_kv, 0
             )
             ki = jnp.minimum(ki, jnp.minimum(last_needed, n_kv - 1))
+        if use_meta:
+            # blocks the segment/position bounds exclude: revisit a
+            # boundary block => no DMA (compute skipped in-kernel)
+            ki = jnp.clip(ki, qmm[4, iqm[p]], qmm[5, iqm[p]])
         return ki
 
-    def kv_index(bi, hk, p, info_ref, gm, iqm, ikvm, qlm):
-        return (bi, hk, _clamp_kv(ikvm[p], info_ref, iqm, p), 0)
+    def kv_index(bi, hk, p, info_ref, gm, iqm, ikvm, qlm, qmm, kmm):
+        return (bi, hk, _clamp_kv(ikvm[p], info_ref, iqm, p, qmm), 0)
 
-    def lse_index(bi, hk, p, info_ref, gm, iqm, ikvm, qlm):
+    def lse_index(bi, hk, p, info_ref, gm, iqm, ikvm, qlm, qmm, kmm):
         return (bi, hk * group + gm[p], iqm[p], 0)
 
-    def qvec_index(bi, hk, p, info_ref, gm, iqm, ikvm, qlm):
+    def qvec_index(bi, hk, p, info_ref, gm, iqm, ikvm, qlm, qmm, kmm):
         return (0, iqm[p])
 
-    def kvec_index(bi, hk, p, info_ref, gm, iqm, ikvm, qlm):
-        return (0, _clamp_kv(ikvm[p], info_ref, iqm, p))
+    def kvec_index(bi, hk, p, info_ref, gm, iqm, ikvm, qlm, qmm, kmm):
+        return (0, _clamp_kv(ikvm[p], info_ref, iqm, p, qmm))
 
-    def dkv_index(bi, hk, p, info_ref, gm, iqm, ikvm, qlm):
+    def dkv_index(bi, hk, p, info_ref, gm, iqm, ikvm, qlm, qmm, kmm):
         return (bi, hk, 0, 0)
 
     in_specs = [
@@ -415,5 +446,5 @@ def pallas_block_bwd_fused(dout, q, k, v, lse, delta, scale,
             vmem_limit_bytes=100 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(info, g_map, iq_map, ikv_map, qlast_map, *inputs)
+    )(info, g_map, iq_map, ikv_map, qlast_map, q_meta, kv_meta, *inputs)
     return dq, dk, dv

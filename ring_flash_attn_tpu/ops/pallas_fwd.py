@@ -84,11 +84,83 @@ def mask_info(mask):
     return info, rel_static, static_rel
 
 
+def _block_bounds(x, blk):
+    xb = jnp.asarray(x, jnp.int32).reshape(-1, blk)
+    return jnp.min(xb, axis=1), jnp.max(xb, axis=1)
+
+
+def _needed_range(needed, axis):
+    """first/last True index along `axis` of a 2-D bool matrix (0 if none)."""
+    n = needed.shape[axis]
+    any_ = needed.any(axis=axis)
+    first = jnp.where(any_, jnp.argmax(needed, axis=axis), 0)
+    last = jnp.where(
+        any_, n - 1 - jnp.argmax(jnp.flip(needed, axis=axis), axis=axis), 0
+    )
+    return first.astype(jnp.int32), last.astype(jnp.int32)
+
+
+def block_meta(mask: "MaskArgs", blk_q, blk_kv, kv_sub, n_q, n_kv):
+    """Scalar-prefetch block bounds for segment/position-aware skipping.
+
+    Returns (q_meta (6, n_q), kv_meta (6, n_kv * blk_kv // kv_sub)) int32:
+      q_meta rows:  [seg_min, seg_max, pos_min, pos_max,
+                     first_needed_kv_macro, last_needed_kv_macro]
+      kv_meta rows (per KV SUB-tile): [seg_min, seg_max, pos_min, pos_max,
+                     first_needed_q_block, last_needed_q_block]
+
+    Rows 0-3 drive the kernels' per-sub-tile three-way dispatch; rows 4/5
+    are the same skip predicate aggregated into contiguous DMA ranges so
+    the index maps never fetch provably-masked blocks (q-major kernels
+    clamp kv by q_meta[4:6]; the kv-major dkv kernel clamps q by
+    kv_meta[4:6]). Ranges are conservative: interior "holes" are fetched
+    but compute-skipped.
+    """
+    use_segments = mask.q_segids is not None
+    use_positions = mask.q_pos is not None
+    z_q = jnp.zeros((n_q,), jnp.int32)
+    n_kv_sub = n_kv * (blk_kv // kv_sub)
+    z_kv = jnp.zeros((n_kv_sub,), jnp.int32)
+    qsmin = qsmax = z_q
+    ksmin = ksmax = z_kv
+    qpmin = qpmax = z_q
+    kpmin = kpmax = z_kv
+    if use_segments:
+        qsmin, qsmax = _block_bounds(mask.q_segids, blk_q)
+        ksmin, ksmax = _block_bounds(mask.kv_segids, kv_sub)
+    if use_positions:
+        qpmin, qpmax = _block_bounds(mask.q_pos, blk_q)
+        kpmin, kpmax = _block_bounds(mask.kv_pos, kv_sub)
+
+    # (n_q, n_kv_sub) skip matrix == the kernels' scalar predicate,
+    # vectorized (causal-by-iota handled by the kernels' block arithmetic
+    # and the existing causal index-map clamp, not here)
+    skip = jnp.zeros((n_q, n_kv_sub), bool)
+    if use_segments:
+        skip |= (qsmax[:, None] < ksmin[None, :]) | (
+            ksmax[None, :] < qsmin[:, None]
+        )
+    if mask.causal and use_positions:
+        skip |= qpmax[:, None] < kpmin[None, :]
+        if mask.window_left is not None:
+            skip |= (qpmin[:, None] - kpmax[None, :]) > mask.window_left
+    needed = jnp.logical_not(skip)
+    kv_first, kv_last = _needed_range(
+        needed.reshape(n_q, n_kv, -1).any(axis=2), axis=1
+    )
+    q_first, q_last = _needed_range(needed, axis=0)
+    q_meta = jnp.stack([qsmin, qsmax, qpmin, qpmax, kv_first, kv_last])
+    kv_meta = jnp.stack([ksmin, ksmax, kpmin, kpmax, q_first, q_last])
+    return q_meta, kv_meta
+
+
 def _fwd_kernel(
     # scalar prefetch
     info_ref,  # (4,) int32: [q offset, kv offset, dropout seed, head off]
     iq_map_ref,  # (P,) int32: pair -> q block (triangular) or None-like
     ikv_map_ref,  # (P,) int32: pair -> kv block
+    qmeta_ref,  # (6, n_q) int32 block bounds (see block_meta) or dummy
+    kvmeta_ref,  # (6, n_kv_sub) int32 sub-tile bounds or dummy
     *refs,  # q, k, v, [qseg, kseg], [qpos, kpos], out, lse, m_s, l_s, acc_s
     causal,
     use_positions,
@@ -142,18 +214,10 @@ def _fwd_kernel(
             num_kv_blocks,
         )
         is_last = ikv == nkv_needed - 1
-        should_compute = True
     else:
         iq = pl.program_id(2)
         ikv = pl.program_id(3)
         is_last = ikv == num_kv_blocks - 1
-        if causal and not use_positions:
-            last_needed = jnp.maximum(
-                ((iq + 1) * blk_q - 1 + rel) // blk_kv, 0
-            )
-            should_compute = ikv <= last_needed
-        else:
-            should_compute = True
 
     @pl.when(ikv == 0)
     def _init():
@@ -264,38 +328,61 @@ def _fwd_kernel(
         m_s[:, :1] = m_new
         l_s[:, :1] = l_new
 
+    # Per-sub-tile three-way dispatch: SKIP (fully masked — no compute, and
+    # for out-of-range macro blocks no DMA either, via the index-map clamp),
+    # mask-free fast path (fully allowed), or the masked pass (diagonal /
+    # segment-boundary / window-edge tiles). Decided at scalar level from
+    # per-block bounds: implicit positions use block arithmetic, explicit
+    # varlen positions/segments use the prefetched block_meta bounds — the
+    # Pallas analog of flash-attn varlen's cu_seqlens block skipping
+    # (reference ring_flash_attn_varlen.py:56-59 relies on it in CUDA).
+    # pl.when predication (Mosaic branches poorly through lax.cond).
+    if use_segments or use_positions:
+        qsmin = qmeta_ref[0, iq]
+        qsmax = qmeta_ref[1, iq]
+        qpmin = qmeta_ref[2, iq]
+        qpmax = qmeta_ref[3, iq]
+
     for t in range(n_sub):
-        if (causal and not use_positions and not use_segments
-                and window_left is None):
-            # Mask pass only on diagonal-crossing sub-tiles; interior ones
-            # take the mask-free path. pl.when predication (Mosaic branches
-            # poorly through lax.cond). (A window disables the fast path:
-            # interior sub-tiles may be window-masked.)
-            sub_start = ikv * blk_kv + t * sub
-            sub_needed = should_compute & (
-                sub_start <= (iq + 1) * blk_q - 1 + rel
-            )
-            on_diag = (iq * blk_q + rel) < (sub_start + sub - 1)
+        if causal or use_segments:
+            skip = None  # None = statically false
+            free = None  # None = statically true
+            jsub = ikv * n_sub + t
+            if causal:
+                # lo/hi = bounds of (q position - kv position) on this tile
+                if use_positions:
+                    lo = qpmin - kvmeta_ref[3, jsub]
+                    hi = qpmax - kvmeta_ref[2, jsub]
+                else:
+                    sub_start = ikv * blk_kv + t * sub
+                    lo = iq * blk_q + rel - (sub_start + sub - 1)
+                    hi = iq * blk_q + blk_q - 1 + rel - sub_start
+                skip = hi < 0  # every pair above the diagonal
+                free = lo >= 0  # every pair at/below the diagonal
+                if window_left is not None:
+                    skip |= lo > window_left  # every pair left of window
+                    free &= hi <= window_left  # every pair inside window
+            if use_segments:
+                ksmin = kvmeta_ref[0, jsub]
+                ksmax = kvmeta_ref[1, jsub]
+                # disjoint segment-id RANGES => no pair can match (ranges
+                # are conservative: overlap without equality just takes the
+                # masked pass)
+                sd = (qsmax < ksmin) | (ksmax < qsmin)
+                sf = (qsmin == qsmax) & (ksmin == ksmax) & (qsmin == ksmin)
+                skip = sd if skip is None else (skip | sd)
+                free = sf if free is None else (free & sf)
 
-            @pl.when(sub_needed & on_diag)
-            def _masked(t=t):
-                _update(t, True)
-
-            @pl.when(sub_needed & jnp.logical_not(on_diag))
+            @pl.when(jnp.logical_not(skip) & free)
             def _unmasked(t=t):
                 _update(t, False)
 
-        elif causal or use_segments:
-
-            @pl.when(should_compute)
-            def _compute(t=t):
+            @pl.when(jnp.logical_not(skip) & jnp.logical_not(free))
+            def _masked(t=t):
                 _update(t, True)
 
         else:
-
-            @pl.when(should_compute)
-            def _compute(t=t):
-                _update(t, False)
+            _update(t, False)
 
     @pl.when(is_last)
     def _flush():
@@ -355,6 +442,20 @@ def pallas_block_fwd(q, k, v, scale, mask: MaskArgs, interpret=False,
     # Triangular pair enumeration needs the diagonal position at trace time.
     triangular = causal and not use_positions and offset_static
 
+    use_meta = use_segments or use_positions
+    if use_meta:
+        q_meta, kv_meta = block_meta(mask, blk_q, blk_kv, kv_sub, n_q, n_kv)
+    else:
+        q_meta = jnp.zeros((6, 1), jnp.int32)  # unused
+        kv_meta = jnp.zeros((6, 1), jnp.int32)
+
+    def _meta_clamp(qi, ki, qmeta_ref):
+        # skipped macro blocks revisit a boundary block: no DMA is issued
+        # for blocks the segment/position bounds fully exclude
+        if use_meta:
+            ki = jnp.clip(ki, qmeta_ref[4, qi], qmeta_ref[5, qi])
+        return ki
+
     if triangular:
         pairs = []
         for iq in range(n_q):
@@ -366,26 +467,23 @@ def pallas_block_fwd(q, k, v, scale, mask: MaskArgs, interpret=False,
         ikv_map = jnp.asarray([p[1] for p in pairs], jnp.int32)
         grid = (b, hq, len(pairs))
 
-        def _iq(qi, ki, iq_map_ref):
-            del ki
-            return iq_map_ref[qi]
-
-        def q_index(bi, hi, p, info_ref, iq_map_ref, ikv_map_ref):
+        def q_index(bi, hi, p, info_ref, iq_map_ref, ikv_map_ref, qm, km):
             return (bi, hi, iq_map_ref[p], 0)
 
-        def kv_index(bi, hi, p, info_ref, iq_map_ref, ikv_map_ref):
-            return (bi, hi // group, ikv_map_ref[p], 0)
+        def kv_index(bi, hi, p, info_ref, iq_map_ref, ikv_map_ref, qm, km):
+            ki = _meta_clamp(iq_map_ref[p], ikv_map_ref[p], qm)
+            return (bi, hi // group, ki, 0)
 
-        def qvec_index(bi, hi, p, info_ref, iq_map_ref, ikv_map_ref):
+        def qvec_index(bi, hi, p, info_ref, iq_map_ref, ikv_map_ref, qm, km):
             return (0, iq_map_ref[p])
 
-        def kvec_index(bi, hi, p, info_ref, iq_map_ref, ikv_map_ref):
-            return (0, ikv_map_ref[p])
+        def kvec_index(bi, hi, p, info_ref, iq_map_ref, ikv_map_ref, qm, km):
+            return (0, _meta_clamp(iq_map_ref[p], ikv_map_ref[p], qm))
 
-        def out_index(bi, hi, p, info_ref, iq_map_ref, ikv_map_ref):
+        def out_index(bi, hi, p, info_ref, iq_map_ref, ikv_map_ref, qm, km):
             return (bi, hi, iq_map_ref[p], 0)
 
-        def lse_index(bi, hi, p, info_ref, iq_map_ref, ikv_map_ref):
+        def lse_index(bi, hi, p, info_ref, iq_map_ref, ikv_map_ref, qm, km):
             return (bi, hi, iq_map_ref[p], 0)
 
         dim_semantics = ("parallel", "parallel", "arbitrary")
@@ -394,10 +492,11 @@ def pallas_block_fwd(q, k, v, scale, mask: MaskArgs, interpret=False,
         ikv_map = jnp.zeros((1,), jnp.int32)
         grid = (b, hq, n_q, n_kv)
 
-        def q_index(bi, hi, qi, ki, info_ref, iq_map_ref, ikv_map_ref):
+        def q_index(bi, hi, qi, ki, info_ref, iq_map_ref, ikv_map_ref,
+                    qm, km):
             return (bi, hi, qi, 0)
 
-        def _clamp_kv(qi, ki, info_ref):
+        def _clamp_kv(qi, ki, info_ref, qm):
             if causal and not use_positions:
                 # out-of-diagonal steps revisit the last in-range block: no
                 # DMA is issued for blocks the causal mask fully excludes.
@@ -407,21 +506,26 @@ def pallas_block_fwd(q, k, v, scale, mask: MaskArgs, interpret=False,
                     // blk_kv, 0
                 )
                 ki = jnp.minimum(ki, jnp.minimum(last_needed, n_kv - 1))
-            return ki
+            return _meta_clamp(qi, ki, qm)
 
-        def kv_index(bi, hi, qi, ki, info_ref, iq_map_ref, ikv_map_ref):
-            return (bi, hi // group, _clamp_kv(qi, ki, info_ref), 0)
+        def kv_index(bi, hi, qi, ki, info_ref, iq_map_ref, ikv_map_ref,
+                     qm, km):
+            return (bi, hi // group, _clamp_kv(qi, ki, info_ref, qm), 0)
 
-        def qvec_index(bi, hi, qi, ki, info_ref, iq_map_ref, ikv_map_ref):
+        def qvec_index(bi, hi, qi, ki, info_ref, iq_map_ref, ikv_map_ref,
+                       qm, km):
             return (0, qi)
 
-        def kvec_index(bi, hi, qi, ki, info_ref, iq_map_ref, ikv_map_ref):
-            return (0, _clamp_kv(qi, ki, info_ref))
+        def kvec_index(bi, hi, qi, ki, info_ref, iq_map_ref, ikv_map_ref,
+                       qm, km):
+            return (0, _clamp_kv(qi, ki, info_ref, qm))
 
-        def out_index(bi, hi, qi, ki, info_ref, iq_map_ref, ikv_map_ref):
+        def out_index(bi, hi, qi, ki, info_ref, iq_map_ref, ikv_map_ref,
+                      qm, km):
             return (bi, hi, qi, 0)
 
-        def lse_index(bi, hi, qi, ki, info_ref, iq_map_ref, ikv_map_ref):
+        def lse_index(bi, hi, qi, ki, info_ref, iq_map_ref, ikv_map_ref,
+                      qm, km):
             return (bi, hi, qi, 0)
 
         dim_semantics = ("parallel", "parallel", "parallel", "arbitrary")
@@ -468,7 +572,7 @@ def pallas_block_fwd(q, k, v, scale, mask: MaskArgs, interpret=False,
     )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=5,
         grid=grid,
         in_specs=in_specs,
         out_specs=[
@@ -502,5 +606,5 @@ def pallas_block_fwd(q, k, v, scale, mask: MaskArgs, interpret=False,
             transcendentals=b * hq * sq * skv,
         ),
         interpret=interpret,
-    )(info, iq_map, ikv_map, *inputs)
+    )(info, iq_map, ikv_map, q_meta, kv_meta, *inputs)
     return out, lse.squeeze(-1)

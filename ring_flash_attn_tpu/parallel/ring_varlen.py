@@ -16,11 +16,16 @@ within-sequence positions (ops/varlen.py):
                      within every sequence -> segments-only mask
   step > rank:       skipped when causal (lax.cond), segments-only otherwise
 
-Only the kv segment ids rotate with kv; positions are needed only on the
-diagonal step — unless ALiBi or deterministic dropout is enabled (both
-EXTENSIONS the reference supports nowhere), in which case the positions
-rotate alongside so every step has the within-sequence coordinates they
-need; dropout then stays bit-identical to single-device varlen dropout.
+NO metadata rotates with kv (round 3): the layout contract makes every
+rank's segment ids identical (they derive only from the shared local
+cu_seqlens), and the resident kv's positions at step s are closed-form
+``src * lens + local`` with src = (rank - s) mod W
+(ops.varlen.local_chunk_info) — so the ring rotates exactly ONE array
+(kv), matching the batch path's collective count. Positions are only
+materialized on the diagonal step — unless ALiBi, deterministic dropout
+or sliding windows need per-step coordinates (EXTENSIONS the reference
+supports nowhere); those are then derived, not communicated; dropout
+stays bit-identical to single-device varlen dropout.
 The varlen LSE flatten/unflatten machinery of the reference
 (triton_utils.py) does not exist here: LSE is flat (B,H,T) by design.
 """
@@ -32,6 +37,7 @@ from jax import lax
 from ..ops.flash import block_fwd, block_bwd, compute_delta
 from ..ops.mask import MaskArgs
 from ..ops.merge import merge_partials
+from ..ops.varlen import local_chunk_info
 from .mesh import ring_rotate, ring_size, ring_rank
 
 
@@ -41,52 +47,62 @@ def _need_pos(extras):
             or extras.get("window_left") is not None)
 
 
+def _kpos_fn(segids, need, rank, w):
+    """step -> resident kv positions, derived (never communicated)."""
+    if not need:
+        return lambda step: None
+    local, lens = local_chunk_info(segids)
+
+    def kpos(step):
+        src = (rank - step) % w
+        return src * lens + local
+
+    return kpos
+
+
 def _fwd(q, k, v, segids, pos, scale, causal, axis_name, backend, extras):
     w = ring_size(axis_name)
     rank = ring_rank(axis_name)
     win = extras.get("window_left") is not None
     kv = jnp.stack([k, v])
-    kseg = segids
-    kpos = pos if _need_pos(extras) else None
+    need_pos = _need_pos(extras)
+    kpos_at = _kpos_fn(segids, need_pos, rank, w)
     out = lse = None
     for step in range(w):
         kv_next = ring_rotate(kv, axis_name) if step < w - 1 else None
-        kseg_next = ring_rotate(kseg, axis_name) if step < w - 1 else None
-        kpos_next = (
-            ring_rotate(kpos, axis_name)
-            if kpos is not None and step < w - 1 else None
-        )
         kk, vv = kv[0], kv[1]
+        kpos = kpos_at(step)
         if step == 0:
             mask = MaskArgs(
-                causal=causal, q_segids=segids, kv_segids=kseg,
-                q_pos=pos if (causal or kpos is not None) else None,
-                kv_pos=pos if (causal or kpos is not None) else None,
+                causal=causal, q_segids=segids, kv_segids=segids,
+                q_pos=pos if (causal or need_pos) else None,
+                kv_pos=pos if (causal or need_pos) else None,
                 **extras,
             )
             b_out, b_lse = block_fwd(q, kk, vv, scale, mask, backend)
             out, lse = merge_partials(None, None, b_out, b_lse)
         elif not causal:
-            mask = MaskArgs(q_segids=segids, kv_segids=kseg,
-                            q_pos=pos if kpos is not None else None,
+            mask = MaskArgs(q_segids=segids, kv_segids=segids,
+                            q_pos=pos if need_pos else None,
                             kv_pos=kpos, **extras)
             b_out, b_lse = block_fwd(q, kk, vv, scale, mask, backend)
             out, lse = merge_partials(out, lse, b_out, b_lse)
         else:
 
-            def _compute(args, kk=kk, vv=vv, kseg=kseg, kpos=kpos):
+            def _compute(args, kk=kk, vv=vv, kpos=kpos):
                 out, lse = args
                 # a sliding window re-enables the position comparison on
                 # off-diagonal steps (qp >= kp holds trivially there, the
                 # window upper bound does not)
-                mask = MaskArgs(causal=win, q_segids=segids, kv_segids=kseg,
-                                q_pos=pos if kpos is not None else None,
+                mask = MaskArgs(causal=win, q_segids=segids,
+                                kv_segids=segids,
+                                q_pos=pos if need_pos else None,
                                 kv_pos=kpos, **extras)
                 b_out, b_lse = block_fwd(q, kk, vv, scale, mask, backend)
                 return merge_partials(out, lse, b_out, b_lse)
 
             out, lse = lax.cond(step <= rank, _compute, lambda a: a, (out, lse))
-        kv, kseg, kpos = kv_next, kseg_next, kpos_next
+        kv = kv_next
     return out, lse
 
 
@@ -97,23 +113,19 @@ def _bwd(q, k, v, segids, pos, out, lse, dout, scale, causal, axis_name,
     win = extras.get("window_left") is not None
     delta = compute_delta(dout, out)
     kv = jnp.stack([k, v])
-    kseg = segids
-    kpos = pos if _need_pos(extras) else None
+    need_pos = _need_pos(extras)
+    kpos_at = _kpos_fn(segids, need_pos, rank, w)
     dq = jnp.zeros(q.shape, jnp.float32)
     dkv = jnp.zeros((2,) + k.shape, jnp.float32)
     for step in range(w):
         kv_next = ring_rotate(kv, axis_name) if step < w - 1 else None
-        kseg_next = ring_rotate(kseg, axis_name) if step < w - 1 else None
-        kpos_next = (
-            ring_rotate(kpos, axis_name)
-            if kpos is not None and step < w - 1 else None
-        )
         kk, vv = kv[0], kv[1]
+        kpos = kpos_at(step)
         if step == 0:
             mask = MaskArgs(
-                causal=causal, q_segids=segids, kv_segids=kseg,
-                q_pos=pos if (causal or kpos is not None) else None,
-                kv_pos=pos if (causal or kpos is not None) else None,
+                causal=causal, q_segids=segids, kv_segids=segids,
+                q_pos=pos if (causal or need_pos) else None,
+                kv_pos=pos if (causal or need_pos) else None,
                 **extras,
             )
             b_dq, b_dk, b_dv = block_bwd(
@@ -122,8 +134,8 @@ def _bwd(q, k, v, segids, pos, out, lse, dout, scale, causal, axis_name,
             dq = dq + b_dq
             dkv = dkv + jnp.stack([b_dk, b_dv])
         elif not causal:
-            mask = MaskArgs(q_segids=segids, kv_segids=kseg,
-                            q_pos=pos if kpos is not None else None,
+            mask = MaskArgs(q_segids=segids, kv_segids=segids,
+                            q_pos=pos if need_pos else None,
                             kv_pos=kpos, **extras)
             b_dq, b_dk, b_dv = block_bwd(
                 dout, q, kk, vv, lse, delta, scale, mask, backend
@@ -132,10 +144,11 @@ def _bwd(q, k, v, segids, pos, out, lse, dout, scale, causal, axis_name,
             dkv = dkv + jnp.stack([b_dk, b_dv])
         else:
 
-            def _compute(args, kk=kk, vv=vv, kseg=kseg, kpos=kpos):
+            def _compute(args, kk=kk, vv=vv, kpos=kpos):
                 dq, dkv = args
-                mask = MaskArgs(causal=win, q_segids=segids, kv_segids=kseg,
-                                q_pos=pos if kpos is not None else None,
+                mask = MaskArgs(causal=win, q_segids=segids,
+                                kv_segids=segids,
+                                q_pos=pos if need_pos else None,
                                 kv_pos=kpos, **extras)
                 b_dq, b_dk, b_dv = block_bwd(
                     dout, q, kk, vv, lse, delta, scale, mask, backend
@@ -144,7 +157,7 @@ def _bwd(q, k, v, segids, pos, out, lse, dout, scale, causal, axis_name,
 
             dq, dkv = lax.cond(step <= rank, _compute, lambda a: a, (dq, dkv))
         dkv = ring_rotate(dkv, axis_name)
-        kv, kseg, kpos = kv_next, kseg_next, kpos_next
+        kv = kv_next
     return dq, dkv[0], dkv[1]
 
 

@@ -23,6 +23,7 @@ from jax import lax
 from ..ops.flash import block_fwd, block_bwd, compute_delta
 from ..ops.mask import MaskArgs
 from ..ops.merge import merge_partials
+from ..ops.varlen import local_chunk_info
 from .mesh import ring_rotate, ring_size, ring_rank
 
 
@@ -32,50 +33,68 @@ def _need_pos(extras):
             or extras.get("window_left") is not None)
 
 
+def _kpos_fn(segids, need, rank, w, half):
+    """step -> resident kv positions for the grouped zigzag layout,
+    DERIVED from the local segids instead of communicated: every rank's
+    segids are identical (they come only from the shared per-half
+    cu_seqlens), and source rank src = (rank - step) mod W packs
+    [chunk src] ++ [chunk 2W-1-src], so its positions are
+    ``src*lens + off`` / ``(2W-1-src)*lens + off`` (ops.varlen
+    local_chunk_info). Round 3: the ring rotates exactly ONE array (kv),
+    like the batch zigzag (the r2 schedule paid 2-3 collectives/step)."""
+    if not need:
+        return lambda step: None
+    off, lens = local_chunk_info(segids[:half])
+
+    def kpos(step):
+        src = (rank - step) % w
+        return jnp.concatenate(
+            [src * lens + off, (2 * w - 1 - src) * lens + off]
+        )
+
+    return kpos
+
+
 def _fwd(q, k, v, segids, pos, scale, axis_name, backend, extras):
     w = ring_size(axis_name)
     rank = ring_rank(axis_name)
     win = extras.get("window_left") is not None
     half = q.shape[2] // 2
     kv = jnp.stack([k, v])
-    kseg = segids
-    kpos = pos if _need_pos(extras) else None
+    need_pos = _need_pos(extras)
+    kpos_at = _kpos_fn(segids, need_pos, rank, w, half)
     out = lse = None
     for step in range(w):
         kv_next = ring_rotate(kv, axis_name) if step < w - 1 else None
-        kseg_next = ring_rotate(kseg, axis_name) if step < w - 1 else None
-        kpos_next = (
-            ring_rotate(kpos, axis_name)
-            if kpos is not None and step < w - 1 else None
-        )
         kk, vv = kv[0], kv[1]
+        kpos = kpos_at(step)
         if step == 0:
             mask = MaskArgs(
-                causal=True, q_segids=segids, kv_segids=kseg,
+                causal=True, q_segids=segids, kv_segids=segids,
                 q_pos=pos, kv_pos=pos, **extras,
             )
             b_out, b_lse = block_fwd(q, kk, vv, scale, mask, backend)
             out, lse = merge_partials(None, None, b_out, b_lse)
-            kv, kseg, kpos = kv_next, kseg_next, kpos_next
+            kv = kv_next
             continue
 
-        def _earlier(args, kk=kk, vv=vv, kseg=kseg, kpos=kpos):
+        def _earlier(args, kk=kk, vv=vv, kpos=kpos):
             out, lse = args
             mask = MaskArgs(causal=win, q_segids=segids,
-                            kv_segids=kseg[:half],
-                            q_pos=pos if kpos is not None else None,
-                            kv_pos=kpos[:half] if kpos is not None else None,
+                            kv_segids=segids[:half],
+                            q_pos=pos if need_pos else None,
+                            kv_pos=kpos[:half] if need_pos else None,
                             **extras)
             b_out, b_lse = block_fwd(
                 q, kk[:, :, :half], vv[:, :, :half], scale, mask, backend
             )
             return merge_partials(out, lse, b_out, b_lse)
 
-        def _later(args, kk=kk, vv=vv, kseg=kseg, kpos=kpos):
+        def _later(args, kk=kk, vv=vv, kpos=kpos):
             out, lse = args
             mask = MaskArgs(causal=win, q_segids=segids[half:],
-                            kv_segids=kseg,
-                            q_pos=pos[half:] if kpos is not None else None,
+                            kv_segids=segids,
+                            q_pos=pos[half:] if need_pos else None,
                             kv_pos=kpos, **extras)
             b_out, b_lse = block_fwd(
                 q[:, :, half:], kk, vv, scale, mask, backend
@@ -88,7 +107,7 @@ def _fwd(q, k, v, segids, pos, scale, axis_name, backend, extras):
             return out, lse
 
         out, lse = lax.cond(step <= rank, _earlier, _later, (out, lse))
-        kv, kseg, kpos = kv_next, kseg_next, kpos_next
+        kv = kv_next
     return out, lse
 
 
@@ -104,22 +123,18 @@ def _bwd(q, k, v, segids, pos, out, lse, dout, scale, axis_name, backend,
     seg1 = segids[half:]
 
     kv = jnp.stack([k, v])
-    kseg = segids
-    kpos = pos if _need_pos(extras) else None
+    need_pos = _need_pos(extras)
+    kpos_at = _kpos_fn(segids, need_pos, rank, w, half)
     dq = jnp.zeros(q.shape, jnp.float32)
     dkv = jnp.zeros((2,) + k.shape, jnp.float32)
     for step in range(w):
         kv_next = ring_rotate(kv, axis_name) if step < w - 1 else None
-        kseg_next = ring_rotate(kseg, axis_name) if step < w - 1 else None
-        kpos_next = (
-            ring_rotate(kpos, axis_name)
-            if kpos is not None and step < w - 1 else None
-        )
         kk, vv = kv[0], kv[1]
+        kpos = kpos_at(step)
 
         if step == 0:
             mask = MaskArgs(
-                causal=True, q_segids=segids, kv_segids=kseg,
+                causal=True, q_segids=segids, kv_segids=segids,
                 q_pos=pos, kv_pos=pos, **extras,
             )
             b_dq, b_dk, b_dv = block_bwd(
@@ -128,15 +143,15 @@ def _bwd(q, k, v, segids, pos, out, lse, dout, scale, axis_name, backend,
             dq = dq + b_dq
             dkv = dkv + jnp.stack([b_dk, b_dv])
             dkv = ring_rotate(dkv, axis_name)
-            kv, kseg, kpos = kv_next, kseg_next, kpos_next
+            kv = kv_next
             continue
 
-        def _earlier(args, kk=kk, vv=vv, kseg=kseg, kpos=kpos):
+        def _earlier(args, kk=kk, vv=vv, kpos=kpos):
             dq, dkv = args
             mask = MaskArgs(causal=win, q_segids=segids,
-                            kv_segids=kseg[:half],
-                            q_pos=pos if kpos is not None else None,
-                            kv_pos=kpos[:half] if kpos is not None else None,
+                            kv_segids=segids[:half],
+                            q_pos=pos if need_pos else None,
+                            kv_pos=kpos[:half] if need_pos else None,
                             **extras)
             b_dq, b_dk, b_dv = block_bwd(
                 dout, q, kk[:, :, :half], vv[:, :, :half], lse, delta,
@@ -146,10 +161,10 @@ def _bwd(q, k, v, segids, pos, out, lse, dout, scale, axis_name, backend,
             dkv = lax.dynamic_update_slice_in_dim(dkv, dkv_half, 0, axis=3)
             return dq + b_dq, dkv
 
-        def _later(args, kk=kk, vv=vv, kseg=kseg, kpos=kpos):
+        def _later(args, kk=kk, vv=vv, kpos=kpos):
             dq, dkv = args
-            mask = MaskArgs(causal=win, q_segids=seg1, kv_segids=kseg,
-                            q_pos=pos[half:] if kpos is not None else None,
+            mask = MaskArgs(causal=win, q_segids=seg1, kv_segids=segids,
+                            q_pos=pos[half:] if need_pos else None,
                             kv_pos=kpos, **extras)
             b_dq, b_dk, b_dv = block_bwd(
                 dout1, q1, kk, vv, lse1, delta1, scale, mask, backend
@@ -160,7 +175,7 @@ def _bwd(q, k, v, segids, pos, out, lse, dout, scale, axis_name, backend,
 
         dq, dkv = lax.cond(step <= rank, _earlier, _later, (dq, dkv))
         dkv = ring_rotate(dkv, axis_name)
-        kv, kseg, kpos = kv_next, kseg_next, kpos_next
+        kv = kv_next
     return dq, dkv[0], dkv[1]
 
 

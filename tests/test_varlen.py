@@ -339,3 +339,48 @@ def test_varlen_window_api(mesh, data):
     out = jax.jit(f)(ql, kl, vl)
     out4 = out.transpose(1, 0, 2)[None]
     assert jnp.max(jnp.abs(_restore_ring(out4) - _oracle_win(q, k, v))) < 2e-5
+
+
+def test_varlen_rings_rotate_only_kv():
+    """r3 re-design: varlen rings must issue exactly W-1 ppermutes in the
+    forward (the kv rotations) — segids are identical across ranks by the
+    layout contract and positions are DERIVED (ops.varlen.local_chunk_info),
+    never communicated. Matches the batch paths' collective count."""
+    from functools import partial
+
+    import numpy as np
+    from jax import shard_map
+    from jax.sharding import Mesh, PartitionSpec as P
+
+    from ring_flash_attn_tpu.ops.varlen import zigzag_varlen_info
+    from ring_flash_attn_tpu.parallel.zigzag_varlen import (
+        zigzag_ring_attention_varlen,
+    )
+
+    world = 4
+    mesh = Mesh(np.array(jax.devices()[:world]), ("sp",))
+    t_local = 64
+    s_g = t_local * world
+    cu_half = jnp.asarray([0, s_g // (2 * world)], jnp.int32)
+    seg, pos = [], []
+    for r in range(world):
+        s_, p_ = zigzag_varlen_info(cu_half, t_local, r, world)
+        seg.append(s_)
+        pos.append(p_)
+    seg_all, pos_all = jnp.concatenate(seg), jnp.concatenate(pos)
+    q = jax.random.normal(jax.random.PRNGKey(0), (1, 2, s_g, 32),
+                          jnp.float32)
+
+    @partial(shard_map, mesh=mesh,
+             in_specs=(P(None, None, "sp", None),) * 3 + (P("sp"), P("sp")),
+             out_specs=P(None, None, "sp", None), check_vma=False)
+    def attn(q_, k_, v_, s_, p_):
+        o, _ = zigzag_ring_attention_varlen(
+            q_, k_, v_, s_, p_, scale=0.25, axis_name="sp",
+            dropout_p=0.1,  # forces the per-step positions path
+        )
+        return o
+
+    jaxpr = str(jax.make_jaxpr(lambda q_: attn(q_, q_, q_, seg_all, pos_all))(q))
+    n_ppermute = jaxpr.count("ppermute")
+    assert n_ppermute == world - 1, jaxpr.count("ppermute")
