@@ -177,6 +177,9 @@ def flash_attn_varlen_func(
         window_left=window_left,
         softcap=_cap(softcap), alibi_slopes=alibi_slopes,
         dropout_p=dropout_p or None, dropout_seed=dropout_seed,
+        # positions come from cu_seqlens_to_positions on one packing:
+        # the packed-self triangle contract holds by construction
+        packed_self=True,
     )
     out, lse = _flash_attention(
         q.transpose(1, 0, 2)[None], k.transpose(1, 0, 2)[None],

@@ -82,6 +82,20 @@ class MaskArgs(NamedTuple):
     # schedules (Ulysses A2A) pass rank * Hq/W so the dropout hash and
     # ALiBi slope indexing see GLOBAL head ids.
     head_offset: Optional[Any] = None
+    # STATIC layout hint for causal varlen: q and kv are the SAME packed
+    # array (self-attention) and positions strictly increase along packed
+    # order WITHIN each segment (runs need not be contiguous — the grouped
+    # zigzag halves qualify). Then any allowed pair
+    # (q_pos >= kv_pos AND same segment) satisfies packed-index i >= j, so
+    # the kernels may enumerate the (q-block, kv-block) pair space
+    # triangularly — the varlen analog of the static-offset causal grid.
+    # Every layout this framework constructs from cu_seqlens qualifies
+    # (single-chip packing, ring/zigzag-grouped diagonal steps). Purely an
+    # optimization hint: results are identical, but a layout violating the
+    # contract (e.g. q and kv packed differently) would silently drop
+    # blocks — the *_varlen_info helpers and the api layer set it only
+    # where the contract holds by construction.
+    packed_self: bool = False
 
     @property
     def has_position_mask(self):

@@ -453,7 +453,11 @@ def _dq(dout, qs, k, v, lse_adj, delta, mask, blk_q, blk_kv, interpret):
     use_segments = mask.q_segids is not None
     use_alibi = mask.alibi_slopes is not None
     info, offset_static, static_offset = mask_info(mask)
-    triangular = causal and not use_positions and offset_static
+    if use_positions:
+        triangular = causal and mask.packed_self
+        static_offset = 0
+    else:
+        triangular = causal and offset_static
 
     use_meta = use_segments or use_positions
     if use_meta:
@@ -603,9 +607,14 @@ def _dkv(dout, qs, k, v, lse, delta, mask, blk_q, blk_kv, interpret):
     info, offset_static, static_offset = mask_info(mask)
     # Pair enumeration (kv-major); causal+static-offset skips q blocks
     # entirely above the diagonal.
+    if use_positions:
+        tri = causal and mask.packed_self
+        static_offset = 0
+    else:
+        tri = causal and offset_static
     pairs = []  # (g, iq, ikv)
     for ikv in range(n_kv):
-        if causal and not use_positions and offset_static:
+        if tri:
             # need (iq+1)*blk_q - 1 + offset >= ikv*blk_kv
             lo = ikv * blk_kv - static_offset + 1 - blk_q
             first_iq = min(n_q - 1, max(0, -((-lo) // blk_q)))

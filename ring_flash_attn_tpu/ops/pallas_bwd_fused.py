@@ -302,7 +302,11 @@ def pallas_block_bwd_fused(dout, q, k, v, lse, delta, scale,
     use_segments = mask.q_segids is not None
     use_alibi = mask.alibi_slopes is not None
     info, offset_static, static_offset = mask_info(mask)
-    triangular = causal and not use_positions and offset_static
+    if use_positions:
+        triangular = causal and mask.packed_self
+        static_offset = 0
+    else:
+        triangular = causal and offset_static
 
     # Pre-scaled operands (see module docstring): one fused HBM pass each.
     qs = (q.astype(jnp.float32) * (scale * _LOG2E)).astype(q.dtype)

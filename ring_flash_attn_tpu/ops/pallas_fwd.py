@@ -439,8 +439,15 @@ def pallas_block_fwd(q, k, v, scale, mask: MaskArgs, interpret=False,
     use_segments = mask.q_segids is not None
     use_alibi = mask.alibi_slopes is not None
     info, offset_static, static_offset = mask_info(mask)
-    # Triangular pair enumeration needs the diagonal position at trace time.
-    triangular = causal and not use_positions and offset_static
+    # Triangular pair enumeration needs the diagonal position at trace
+    # time: static relative offsets qualify, and so do packed_self varlen
+    # layouts (allowed pairs provably lie in the packed-index triangle;
+    # see MaskArgs.packed_self).
+    if use_positions:
+        triangular = causal and mask.packed_self
+        static_offset = 0
+    else:
+        triangular = causal and offset_static
 
     use_meta = use_segments or use_positions
     if use_meta:

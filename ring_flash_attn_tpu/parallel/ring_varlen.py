@@ -77,6 +77,7 @@ def _fwd(q, k, v, segids, pos, scale, causal, axis_name, backend, extras):
                 causal=causal, q_segids=segids, kv_segids=segids,
                 q_pos=pos if (causal or need_pos) else None,
                 kv_pos=pos if (causal or need_pos) else None,
+                packed_self=True,  # diagonal step: q vs its own packing
                 **extras,
             )
             b_out, b_lse = block_fwd(q, kk, vv, scale, mask, backend)
@@ -126,6 +127,7 @@ def _bwd(q, k, v, segids, pos, out, lse, dout, scale, causal, axis_name,
                 causal=causal, q_segids=segids, kv_segids=segids,
                 q_pos=pos if (causal or need_pos) else None,
                 kv_pos=pos if (causal or need_pos) else None,
+                packed_self=True,  # diagonal step: q vs its own packing
                 **extras,
             )
             b_dq, b_dk, b_dv = block_bwd(

@@ -71,7 +71,9 @@ def _fwd(q, k, v, segids, pos, scale, axis_name, backend, extras):
         if step == 0:
             mask = MaskArgs(
                 causal=True, q_segids=segids, kv_segids=segids,
-                q_pos=pos, kv_pos=pos, **extras,
+                q_pos=pos, kv_pos=pos,
+                packed_self=True,  # diagonal step: q vs its own packing
+                **extras,
             )
             b_out, b_lse = block_fwd(q, kk, vv, scale, mask, backend)
             out, lse = merge_partials(None, None, b_out, b_lse)
@@ -135,7 +137,9 @@ def _bwd(q, k, v, segids, pos, out, lse, dout, scale, axis_name, backend,
         if step == 0:
             mask = MaskArgs(
                 causal=True, q_segids=segids, kv_segids=segids,
-                q_pos=pos, kv_pos=pos, **extras,
+                q_pos=pos, kv_pos=pos,
+                packed_self=True,  # diagonal step: q vs its own packing
+                **extras,
             )
             b_dq, b_dk, b_dv = block_bwd(
                 dout, q, kk, vv, lse, delta, scale, mask, backend

@@ -155,3 +155,67 @@ def test_split_bwd_skipping_matches_naive(case):
         np.testing.assert_allclose(
             np.asarray(g2), np.asarray(g1), atol=5e-5, err_msg=name
         )
+
+
+PACKED_CASES = {
+    "packed_self": MaskArgs(
+        causal=True, q_segids=SEG_SORTED, kv_segids=SEG_SORTED,
+        q_pos=POS_SORTED, kv_pos=POS_SORTED, packed_self=True,
+    ),
+    "packed_self_window": MaskArgs(
+        causal=True, q_segids=SEG_SORTED, kv_segids=SEG_SORTED,
+        q_pos=POS_SORTED, kv_pos=POS_SORTED, window_left=40,
+        packed_self=True,
+    ),
+}
+
+
+@pytest.mark.parametrize("case", sorted(PACKED_CASES))
+def test_packed_self_triangular_grid_exact(case):
+    """packed_self=True switches the varlen kernels to the triangular
+    pair grid; results must be IDENTICAL to the rectangular grid and the
+    naive oracle (fwd + both backward kernels)."""
+    from ring_flash_attn_tpu.ops.pallas_bwd import pallas_block_bwd
+
+    q, k, v, do = _data()
+    mask = PACKED_CASES[case]
+    o1, l1 = naive_block_fwd(q, k, v, SCALE, mask)
+    o2, l2 = pallas_block_fwd(q, k, v, SCALE, mask, interpret=True, **BLK)
+    np.testing.assert_allclose(np.asarray(o2), np.asarray(o1), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(l2), np.asarray(l1), atol=2e-5)
+
+    out, lse = o1, l1
+    delta = compute_delta(do, out)
+    r1 = naive_block_bwd(do, q, k, v, lse, delta, SCALE, mask)
+    for fused in (True, False):
+        r2 = pallas_block_bwd(
+            do, q, k, v, lse, delta, SCALE, mask, interpret=True,
+            blk_q=64, blk_kv=64, fused=fused,
+        )
+        for g1, g2, name in zip(r1, r2, "dq dk dv".split()):
+            np.testing.assert_allclose(
+                np.asarray(g2), np.asarray(g1), atol=5e-5,
+                err_msg=f"{name} fused={fused}",
+            )
+
+
+def test_packed_self_zigzag_grouped_layout():
+    """The grouped zigzag diagonal-step layout (repeating segid runs,
+    per-segment increasing positions) must stay exact under packed_self."""
+    from ring_flash_attn_tpu.ops.varlen import zigzag_varlen_info
+
+    q, k, v, _ = _data()
+    # rank 1 of world 2: packs [chunk 1] ++ [chunk 2] of each sequence
+    cu_half = jnp.asarray([0, 32, 96, 128], jnp.int32)
+    seg, pos = zigzag_varlen_info(cu_half, S, 1, 2)
+    mask = MaskArgs(
+        causal=True, q_segids=seg, kv_segids=seg, q_pos=pos, kv_pos=pos,
+        packed_self=True,
+    )
+    ref = MaskArgs(
+        causal=True, q_segids=seg, kv_segids=seg, q_pos=pos, kv_pos=pos
+    )
+    o1, l1 = naive_block_fwd(q, k, v, SCALE, ref)
+    o2, l2 = pallas_block_fwd(q, k, v, SCALE, mask, interpret=True, **BLK)
+    np.testing.assert_allclose(np.asarray(o2), np.asarray(o1), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(l2), np.asarray(l1), atol=2e-5)
