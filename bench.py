@@ -75,18 +75,21 @@ def bench_single_chip():
     scale = D**-0.5
     mask = MaskArgs(causal=CAUSAL)
 
-    def loss(q, k, v):
+    # k/v/dout as jit ARGS (closure device arrays become jit constants
+    # whose lowering re-fetches them through the harness tunnel)
+    def loss(q, k, v, dout_):
         o, _ = flash_attention(q, k, v, scale, mask)
-        return jnp.sum(o.astype(jnp.float32) * dout.astype(jnp.float32))
+        return jnp.sum(o.astype(jnp.float32) * dout_.astype(jnp.float32))
 
     grad = jax.jit(jax.grad(loss, (0, 1, 2)))
 
     def step(q_):
-        dq, dk, dv = grad(q_, k, v)
+        dq, dk, dv = grad(q_, k, v, dout)
         return dq.astype(jnp.bfloat16)
 
-    fwd = jax.jit(lambda q_: flash_attention(q_, k, v, scale, mask)[0].astype(
-        jnp.bfloat16))
+    fwd_j = jax.jit(lambda q_, k_, v_: flash_attention(
+        q_, k_, v_, scale, mask)[0].astype(jnp.bfloat16))
+    fwd = lambda q_: fwd_j(q_, k, v)
     dt_fwd = timed(fwd, q)
     dt = timed(step, q)
     peak = chip_peak()

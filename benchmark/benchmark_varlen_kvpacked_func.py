@@ -84,21 +84,24 @@ def run_single_chip(n=20):
                           * 0.5)
         cu_j = jnp.asarray(cu, jnp.int32)
 
-        fwd = jax.jit(lambda q_: flash_attn_varlen_kvpacked_func(
-            q_, kv, cu_j, causal=True).astype(jnp.bfloat16))
+        # kv/cu/dout ride as jit ARGS, never closures: closed-over device
+        # arrays become jit constants whose lowering fetches them back
+        # through this harness's tunnel at ~minutes/MB
+        fwd_j = jax.jit(lambda q_, kv_, cu_: flash_attn_varlen_kvpacked_func(
+            q_, kv_, cu_, causal=True).astype(jnp.bfloat16))
 
-        def loss(q_):
+        def loss(q_, kv_, cu_, dout_):
             return jnp.sum(
-                flash_attn_varlen_kvpacked_func(q_, kv, cu_j, causal=True)
-                .astype(jnp.float32) * dout.astype(jnp.float32)
+                flash_attn_varlen_kvpacked_func(q_, kv_, cu_, causal=True)
+                .astype(jnp.float32) * dout_.astype(jnp.float32)
             )
 
         grad = jax.jit(jax.grad(loss))
-        gstep = lambda q_: grad(q_).astype(jnp.bfloat16)
 
-        t_f = timed(fwd, q, n)
+        t_f = timed(lambda q_: fwd_j(q_, kv, cu_j), q, n)
         # one grad call = custom_vjp fwd + bwd (same convention as bench.py)
-        t_fb = timed(gstep, q, n)
+        t_fb = timed(lambda q_: grad(q_, kv, cu_j, dout).astype(jnp.bfloat16),
+                     q, n)
         pf = flops_fwd / t_f / PEAK * 100
         pfb = flops_fwd * 3.5 / (t_fb) / PEAK * 100
         results.append((cu, 1 / t_f, pf, 1 / t_fb, pfb))

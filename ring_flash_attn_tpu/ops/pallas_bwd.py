@@ -465,8 +465,8 @@ def _dq(dout, qs, k, v, lse_adj, delta, mask, blk_q, blk_kv, interpret):
 
         q_meta, kv_meta = block_meta(mask, blk_q, blk_kv, blk_kv, n_q, n_kv)
     else:
-        q_meta = jnp.zeros((6, 1), jnp.int32)  # unused
-        kv_meta = jnp.zeros((6, 1), jnp.int32)
+        q_meta = np.zeros((6, 1), np.int32)  # unused
+        kv_meta = np.zeros((6, 1), np.int32)
 
     def _meta_clamp(qi, ki, qm):
         if use_meta:
@@ -475,8 +475,8 @@ def _dq(dout, qs, k, v, lse_adj, delta, mask, blk_q, blk_kv, interpret):
 
     if triangular:
         pairs = _triangular_pairs(n_q, n_kv, blk_q, blk_kv, static_offset)
-        iq_map = jnp.asarray([x[0] for x in pairs], jnp.int32)
-        ikv_map = jnp.asarray([x[1] for x in pairs], jnp.int32)
+        iq_map = np.asarray([x[0] for x in pairs], np.int32)
+        ikv_map = np.asarray([x[1] for x in pairs], np.int32)
         grid = (b, hq, len(pairs))
 
         def q_index(bi, hi, p, info_ref, iqm, ikvm, qm, km):
@@ -496,8 +496,8 @@ def _dq(dout, qs, k, v, lse_adj, delta, mask, blk_q, blk_kv, interpret):
 
         dim_semantics = ("parallel", "parallel", "arbitrary")
     else:
-        iq_map = jnp.zeros((1,), jnp.int32)
-        ikv_map = jnp.zeros((1,), jnp.int32)
+        iq_map = np.zeros((1,), np.int32)
+        ikv_map = np.zeros((1,), np.int32)
         grid = (b, hq, n_q, n_kv)
 
         def _clamp_kv(qi, ki, info_ref, qm):
@@ -622,9 +622,9 @@ def _dkv(dout, qs, k, v, lse, delta, mask, blk_q, blk_kv, interpret):
             first_iq = 0
         for g in range(group):
             pairs.extend((g, iq, ikv) for iq in range(first_iq, n_q))
-    g_map = jnp.asarray([x[0] for x in pairs], jnp.int32)
-    iq_map = jnp.asarray([x[1] for x in pairs], jnp.int32)
-    ikv_map = jnp.asarray([x[2] for x in pairs], jnp.int32)
+    g_map = np.asarray([x[0] for x in pairs], np.int32)
+    iq_map = np.asarray([x[1] for x in pairs], np.int32)
+    ikv_map = np.asarray([x[2] for x in pairs], np.int32)
     first = np.zeros(len(pairs), np.int32)
     last = np.zeros(len(pairs), np.int32)
     prev_kv = None
@@ -635,8 +635,8 @@ def _dkv(dout, qs, k, v, lse, delta, mask, blk_q, blk_kv, interpret):
                 last[i - 1] = 1
             prev_kv = ikv
     last[-1] = 1
-    first_map = jnp.asarray(first)
-    last_map = jnp.asarray(last)
+    first_map = first
+    last_map = last
 
     use_meta = use_segments or use_positions
     if use_meta:
@@ -644,8 +644,8 @@ def _dkv(dout, qs, k, v, lse, delta, mask, blk_q, blk_kv, interpret):
 
         q_meta, kv_meta = block_meta(mask, blk_q, blk_kv, blk_kv, n_q, n_kv)
     else:
-        q_meta = jnp.zeros((6, 1), jnp.int32)  # unused
-        kv_meta = jnp.zeros((6, 1), jnp.int32)
+        q_meta = np.zeros((6, 1), np.int32)  # unused
+        kv_meta = np.zeros((6, 1), np.int32)
 
     def _meta_clamp_q(qi, ki, km):
         # kv-major kernel: skipped Q blocks revisit a boundary block

@@ -330,10 +330,10 @@ def pallas_block_bwd_fused(dout, q, k, v, lse, delta, scale,
                 nkv = n_kv
             for ikv in range(nkv):
                 pairs.append((g, iq, ikv, int(ikv == nkv - 1)))
-    g_map = jnp.asarray([x[0] for x in pairs], jnp.int32)
-    iq_map = jnp.asarray([x[1] for x in pairs], jnp.int32)
-    ikv_map = jnp.asarray([x[2] for x in pairs], jnp.int32)
-    qlast_map = jnp.asarray([x[3] for x in pairs], jnp.int32)
+    g_map = np.asarray([x[0] for x in pairs], np.int32)
+    iq_map = np.asarray([x[1] for x in pairs], np.int32)
+    ikv_map = np.asarray([x[2] for x in pairs], np.int32)
+    qlast_map = np.asarray([x[3] for x in pairs], np.int32)
 
     use_meta = use_segments or use_positions
     if use_meta:
@@ -341,8 +341,8 @@ def pallas_block_bwd_fused(dout, q, k, v, lse, delta, scale,
 
         q_meta, kv_meta = block_meta(mask, blk_q, blk_kv, kv_sub, n_q, n_kv)
     else:
-        q_meta = jnp.zeros((6, 1), jnp.int32)  # unused
-        kv_meta = jnp.zeros((6, 1), jnp.int32)
+        q_meta = np.zeros((6, 1), np.int32)  # unused
+        kv_meta = np.zeros((6, 1), np.int32)
 
     grid = (b, hkv, len(pairs))
     n_prefetch = 7

@@ -62,8 +62,10 @@ def mask_info(mask):
     RELATIVE offset (what the causal grid logic needs) is static, and its
     static value."""
     def scalar(x):
-        return jnp.zeros((), jnp.int32) if x is None else jnp.asarray(
-            x, jnp.int32
+        # np scalar when static: jnp here would eagerly commit a device
+        # constant whose lowering round-trips the tunnel (~12s each)
+        return np.int32(0) if x is None else (
+            np.int32(x) if _static_int(x) else jnp.asarray(x, jnp.int32)
         )
 
     if mask.offset is not None and mask.offset is mask.kv_offset:
@@ -77,10 +79,12 @@ def mask_info(mask):
             int(mask.offset or 0) - int(mask.kv_offset or 0)
             if rel_static else 0
         )
-    info = jnp.stack(
-        [scalar(mask.offset), scalar(mask.kv_offset),
-         scalar(mask.dropout_seed), scalar(mask.head_offset)]
+    vals = [scalar(mask.offset), scalar(mask.kv_offset),
+            scalar(mask.dropout_seed), scalar(mask.head_offset)]
+    stack = (
+        np.stack if all(isinstance(v, np.int32) for v in vals) else jnp.stack
     )
+    info = stack(vals)
     return info, rel_static, static_rel
 
 
@@ -453,8 +457,8 @@ def pallas_block_fwd(q, k, v, scale, mask: MaskArgs, interpret=False,
     if use_meta:
         q_meta, kv_meta = block_meta(mask, blk_q, blk_kv, kv_sub, n_q, n_kv)
     else:
-        q_meta = jnp.zeros((6, 1), jnp.int32)  # unused
-        kv_meta = jnp.zeros((6, 1), jnp.int32)
+        q_meta = np.zeros((6, 1), np.int32)  # unused
+        kv_meta = np.zeros((6, 1), np.int32)
 
     def _meta_clamp(qi, ki, qmeta_ref):
         # skipped macro blocks revisit a boundary block: no DMA is issued
@@ -470,8 +474,8 @@ def pallas_block_fwd(q, k, v, scale, mask: MaskArgs, interpret=False,
                 n_kv, max(1, ((iq + 1) * blk_q - 1 + static_offset) // blk_kv + 1)
             )
             pairs.extend((iq, ikv) for ikv in range(nkv_needed))
-        iq_map = jnp.asarray([p[0] for p in pairs], jnp.int32)
-        ikv_map = jnp.asarray([p[1] for p in pairs], jnp.int32)
+        iq_map = np.asarray([p[0] for p in pairs], np.int32)
+        ikv_map = np.asarray([p[1] for p in pairs], np.int32)
         grid = (b, hq, len(pairs))
 
         def q_index(bi, hi, p, info_ref, iq_map_ref, ikv_map_ref, qm, km):
@@ -495,8 +499,8 @@ def pallas_block_fwd(q, k, v, scale, mask: MaskArgs, interpret=False,
 
         dim_semantics = ("parallel", "parallel", "arbitrary")
     else:
-        iq_map = jnp.zeros((1,), jnp.int32)  # unused
-        ikv_map = jnp.zeros((1,), jnp.int32)
+        iq_map = np.zeros((1,), np.int32)  # unused
+        ikv_map = np.zeros((1,), np.int32)
         grid = (b, hq, n_q, n_kv)
 
         def q_index(bi, hi, qi, ki, info_ref, iq_map_ref, ikv_map_ref,
