@@ -18,7 +18,6 @@ the reference's 0.902, README.md:84-85.)
 
 import json
 import sys
-import time
 
 import jax
 import jax.numpy as jnp
@@ -51,17 +50,8 @@ def chip_peak():
     return 197e12
 
 
-def timed(f, feedback, n=20):
-    """Serialized timing: feed part of the output back into the input so the
-    remote-execution layer can't content-cache repeated identical calls."""
-    state = feedback
-    state = f(state)
-    jax.block_until_ready(state)
-    t0 = time.time()
-    for _ in range(n):
-        state = f(state)
-    jax.block_until_ready(state)
-    return (time.time() - t0) / n
+from ring_flash_attn_tpu.utils.timing import timed  # noqa: E402 — host-fetch
+# barrier + feedback chain; block_until_ready is a NO-OP on the axon tunnel
 
 
 def bench_single_chip():

@@ -19,25 +19,16 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import argparse
-import time
 from functools import partial
 
 import jax
 import jax.numpy as jnp
+
+from ring_flash_attn_tpu.utils.timing import timed
 import numpy as np
 
 B, HQ, HKV, SEQ, D = 1, 32, 8, 8192, 128
 SCALE = D**-0.5
-
-
-def timed(step, x0, n=10):
-    x = step(x0)
-    jax.block_until_ready(x)
-    t0 = time.time()
-    for _ in range(n):
-        x = step(x)
-    jax.block_until_ready(x)
-    return (time.time() - t0) / n
 
 
 def make_data(s):

@@ -12,26 +12,17 @@ import sys
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import argparse
-import time
 from functools import partial
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ring_flash_attn_tpu.utils.timing import timed
+
 B, HQ, HKV, D = 1, 32, 8, 128
 SEQ_PER_DEV = 8192
 SCALE = D**-0.5
-
-
-def timed(step, x0, n=10):
-    x = step(x0)
-    jax.block_until_ready(x)
-    t0 = time.time()
-    for _ in range(n):
-        x = step(x)
-    jax.block_until_ready(x)
-    return (time.time() - t0) / n
 
 
 def main():

@@ -8,27 +8,17 @@ varying (blk_q, blk_kv macro, kv_sub) on the production causal shape.
 Run alone (no concurrent chip jobs / CPU suite): memory gotcha #6.
 """
 
-import time
 
 import jax
 import jax.numpy as jnp
+
+from ring_flash_attn_tpu.utils.timing import timed
 
 from ring_flash_attn_tpu.ops.mask import MaskArgs
 from ring_flash_attn_tpu.ops import pallas_fwd
 
 B, HQ, HKV, S, D = 1, 32, 8, 8192, 128
 PEAK = 197e12
-
-
-def timed(f, feedback, n=20):
-    state = feedback
-    state = f(state)
-    jax.block_until_ready(state)
-    t0 = time.time()
-    for _ in range(n):
-        state = f(state)
-    jax.block_until_ready(state)
-    return (time.time() - t0) / n
 
 
 def main():
@@ -41,10 +31,12 @@ def main():
     flops_f = 4 * S * S * HQ * D
 
     def run(name, mask, flops, **kw):
-        f = jax.jit(lambda q_: pallas_fwd.pallas_block_fwd(
-            q_, k, v, scale, mask, out_dtype=jnp.bfloat16, **kw)[0])
+        # k/v ride as jit ARGS: closed-over device arrays become jit
+        # constants fetched back through the tunnel at ~minutes/MB
+        f = jax.jit(lambda q_, k_, v_: pallas_fwd.pallas_block_fwd(
+            q_, k_, v_, scale, mask, out_dtype=jnp.bfloat16, **kw)[0])
         try:
-            dt = timed(f, q)
+            dt = timed(lambda q_: f(q_, k, v), q)
         except Exception as e:  # noqa: BLE001 — sweep survives bad configs
             print(f"{name:28s} FAILED: {type(e).__name__}: {e}")
             return

@@ -1,0 +1,190 @@
+"""Single-chip ring-overhead probe via DEVICE TRACES (round-3 task 2).
+
+Wall-clock is useless for sharded programs on this harness: the tunnel
+re-stages sharded executables per call (PROBE_r02.log records 20,242 ms/call
+for a 16 ms computation), and `jax.block_until_ready` is a no-op. Device
+traces bypass both: `jax.profiler.trace` records per-kernel on-device
+durations in xplane protos, which we parse directly.
+
+Measures, at the reference headline shape (B=1, S=8192, 32q/8kv, D=128,
+causal bf16):
+  (a) raw single-chip flash fwd+bwd        — the roofline building block
+  (b) W=1 zigzag shard_map train step      — schedule-level ring machinery
+  (c) W=1 fused in-kernel-RDMA ring step   — the fused ring's machinery
+The W=1 delta over (a) is the per-step overhead every ring step pays
+(collective stubs, merge ops, layout plumbing) minus actual ICI transfer —
+the only single-chip proxy for the reference's 8-GPU roofline table
+(reference README.md:80-98).
+
+Output: per-variant on-device total + top ops, and overhead percentages.
+Writes PROBE_r03.log-worthy lines to stdout; run with
+  PYTHONPATH=/root/.axon_site:/root/repo python -u tools/probe_ring_trace.py
+"""
+
+import glob
+import os
+import shutil
+import sys
+import tempfile
+from collections import defaultdict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+B, HQ, HKV, S, D = 1, 32, 8, 8192, 128
+SCALE = D**-0.5
+N_ITERS = 6  # traced iterations per variant
+PEAK = 197e12
+
+
+def parse_device_time(logdir):
+    """Sum on-device event durations from the xplane protos under logdir.
+
+    Returns (total_device_seconds, {op_name: seconds}) over all TPU device
+    planes' "XLA Ops" (fallback: all) lines. Host planes are ignored.
+    """
+    from tensorflow.tsl.profiler.protobuf import xplane_pb2
+
+    paths = glob.glob(
+        os.path.join(logdir, "**", "*.xplane.pb"), recursive=True
+    )
+    if not paths:
+        raise RuntimeError(f"no xplane.pb under {logdir}")
+    total_ps = 0
+    by_op = defaultdict(int)
+    for path in paths:
+        space = xplane_pb2.XSpace()
+        with open(path, "rb") as f:
+            space.ParseFromString(f.read())
+        for plane in space.planes:
+            name = plane.name
+            is_device = ("TPU" in name or "/device:" in name) and (
+                "Host" not in name
+            )
+            if not is_device:
+                continue
+            metadata = plane.event_metadata
+            for line in plane.lines:
+                # XLA Ops / XLA Modules / Steps lines exist; "XLA Ops" is
+                # the per-kernel one. Sum only one line kind to avoid
+                # double-counting nested rollups.
+                if line.name and "Ops" not in line.name:
+                    continue
+                for ev in line.events:
+                    md = metadata.get(ev.metadata_id)
+                    op = md.name if md is not None else "?"
+                    total_ps += ev.duration_ps
+                    by_op[op] += ev.duration_ps
+    return total_ps * 1e-12, {k: v * 1e-12 for k, v in by_op.items()}
+
+
+def traced(tag, fn, feedback):
+    """Run fn in a feedback chain under a profiler trace; return per-iter
+    on-device seconds and the op breakdown."""
+    from ring_flash_attn_tpu.utils.timing import fetch_barrier
+
+    # compile + drain before tracing so the trace holds steady-state iters
+    fetch_barrier(fn(feedback))
+    logdir = tempfile.mkdtemp(prefix=f"trace_{tag}_")
+    try:
+        with jax.profiler.trace(logdir):
+            x = feedback
+            for _ in range(N_ITERS):
+                x = fn(x)
+            fetch_barrier(x)
+        dev_s, by_op = parse_device_time(logdir)
+    finally:
+        shutil.rmtree(logdir, ignore_errors=True)
+    per_iter = dev_s / N_ITERS
+    top = sorted(by_op.items(), key=lambda kv: -kv[1])[:6]
+    print(f"[{tag}] on-device {per_iter*1e3:.2f} ms/iter "
+          f"(total {dev_s*1e3:.1f} ms / {N_ITERS} iters)")
+    for op, s in top:
+        print(f"    {s/N_ITERS*1e3:7.3f} ms  {op[:90]}")
+    return per_iter
+
+
+def main():
+    from functools import partial
+
+    from jax import shard_map
+    from jax.sharding import Mesh, PartitionSpec as P
+
+    from ring_flash_attn_tpu.ops.flash import flash_attention
+    from ring_flash_attn_tpu.ops.mask import MaskArgs
+    from ring_flash_attn_tpu.parallel.zigzag import zigzag_ring_attention
+
+    q = jax.random.normal(jax.random.PRNGKey(0), (B, HQ, S, D), jnp.bfloat16)
+    k = jax.random.normal(jax.random.PRNGKey(1), (B, HKV, S, D), jnp.bfloat16)
+    v = jax.random.normal(jax.random.PRNGKey(2), (B, HKV, S, D), jnp.bfloat16)
+    dout = jax.random.normal(jax.random.PRNGKey(3), (B, HQ, S, D),
+                             jnp.bfloat16)
+
+    # (a) raw flash fwd+bwd
+    def loss(q_, k_, v_, dout_):
+        o, _ = flash_attention(q_, k_, v_, SCALE, MaskArgs(causal=True))
+        return jnp.sum(o.astype(jnp.float32) * dout_.astype(jnp.float32))
+
+    grad = jax.jit(jax.grad(loss, (0, 1, 2)))
+    t_flash = traced(
+        "raw-flash", lambda q_: grad(q_, k, v, dout)[0].astype(jnp.bfloat16), q
+    )
+
+    # (b) W=1 zigzag shard_map step
+    mesh = Mesh(np.array(jax.devices()[:1]), ("sp",))
+
+    @partial(shard_map, mesh=mesh, in_specs=(P(None, None, "sp", None),) * 3,
+             out_specs=P(None, None, "sp", None), check_vma=False)
+    def zz(q_, k_, v_):
+        o, _ = zigzag_ring_attention(q_, k_, v_, scale=SCALE, axis_name="sp")
+        return o
+
+    def loss_zz(q_, k_, v_, dout_):
+        return jnp.sum(zz(q_, k_, v_).astype(jnp.float32)
+                       * dout_.astype(jnp.float32))
+
+    grad_zz = jax.jit(jax.grad(loss_zz, (0, 1, 2)))
+    t_zz = traced(
+        "zigzag-w1", lambda q_: grad_zz(q_, k, v, dout)[0].astype(jnp.bfloat16),
+        q,
+    )
+
+    # (c) W=1 fused in-kernel ring step
+    try:
+        from ring_flash_attn_tpu.parallel.fused_ring import fused_ring_attention
+
+        @partial(shard_map, mesh=mesh,
+                 in_specs=(P(None, None, "sp", None),) * 3,
+                 out_specs=P(None, None, "sp", None), check_vma=False)
+        def fring(q_, k_, v_):
+            o, _ = fused_ring_attention(q_, k_, v_, scale=SCALE,
+                                        causal=True, axis_name="sp")
+            return o
+
+        def loss_fr(q_, k_, v_, dout_):
+            return jnp.sum(fring(q_, k_, v_).astype(jnp.float32)
+                           * dout_.astype(jnp.float32))
+
+        grad_fr = jax.jit(jax.grad(loss_fr, (0, 1, 2)))
+        t_fr = traced(
+            "fused-ring-w1",
+            lambda q_: grad_fr(q_, k, v, dout)[0].astype(jnp.bfloat16), q,
+        )
+    except Exception as e:  # noqa: BLE001 — fused ring is the experiment
+        print(f"[fused-ring-w1] FAILED: {type(e).__name__}: {e}")
+        t_fr = None
+
+    flops = 4 * S * S * HQ * D * 0.5 * 3.5
+    print()
+    print(f"raw flash fwd+bwd : {t_flash*1e3:7.2f} ms on-device "
+          f"({flops/t_flash/PEAK*100:.1f}% peak)")
+    print(f"zigzag W=1        : {t_zz*1e3:7.2f} ms on-device "
+          f"(+{(t_zz/t_flash-1)*100:5.1f}% schedule overhead)")
+    if t_fr is not None:
+        print(f"fused ring W=1    : {t_fr*1e3:7.2f} ms on-device "
+              f"(+{(t_fr/t_flash-1)*100:5.1f}% vs raw flash)")
+
+
+if __name__ == "__main__":
+    main()
