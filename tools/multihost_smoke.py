@@ -23,6 +23,13 @@ import os
 import subprocess
 import sys
 
+# workers are spawned as `python tools/multihost_smoke.py --worker=N`, so
+# python puts tools/ (not the repo root) on sys.path; the package import
+# must not depend on the caller's PYTHONPATH
+_REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+if _REPO not in sys.path:
+    sys.path.insert(0, _REPO)
+
 PORT = int(os.environ.get("MH_SMOKE_PORT", "37531"))
 B, HQ, HKV, E, S_LOCAL, D = 1, 4, 2, 64, 128, 32
 WORLD = 8  # 2 processes x 4 local devices
