@@ -128,6 +128,25 @@ def paged_append(cache: PagedKVCache, k_new, v_new):
     )
 
 
+def copy_pages(cache, src, dst):
+    """Execute copy-on-write page copies from the serving allocator:
+    copy pages `src` (M,) over pages `dst` (M,) in both pools. Whole pages
+    are copied — slots past the sequence's valid offset are never read
+    (decode masks by seq_lens) and the appended token overwrites its slot.
+    Works for PagedKVCache and QuantPagedKVCache (scales ride along)."""
+    src = jnp.asarray(src, jnp.int32)
+    dst = jnp.asarray(dst, jnp.int32)
+
+    def cp(pages):
+        return pages.at[dst].set(pages[src])
+
+    fields = {"k_pages": cp(cache.k_pages), "v_pages": cp(cache.v_pages)}
+    if hasattr(cache, "k_scales"):
+        fields["k_scales"] = cp(cache.k_scales)
+        fields["v_scales"] = cp(cache.v_scales)
+    return cache._replace(**fields)
+
+
 def paged_gather_dense(cache: PagedKVCache):
     """(k, v) dense (B, Hkv, pages_per_seq * page_size, D) — the XLA
     oracle's gather; positions past seq_lens are garbage (mask by length)."""
