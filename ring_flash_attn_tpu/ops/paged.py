@@ -96,35 +96,45 @@ def paged_prefill(cache: PagedKVCache, k, v, seq_lens):
     )
 
 
-def paged_append(cache: PagedKVCache, k_new, v_new):
+def paged_append(cache: PagedKVCache, k_new, v_new, mask=None):
     """Append ONE token per sequence (the decode step): k_new/v_new
     (B, Hkv, 1, D). Returns the cache with seq_lens advanced.
 
     Appending past capacity (seq_lens == pages_per_seq * page_size) would
     silently clobber the last page (the block-table gather clamps), so the
     write is dropped and seq_lens pinned at capacity instead — decode reads
-    stay correct over the tokens that actually fit."""
+    stay correct over the tokens that actually fit.
+
+    mask (B,) bool: rows with mask=False append nothing (their slot
+    rewrites its current contents and seq_lens stays put). This is how a
+    continuous-batching step appends only its live lanes — a dead lane's
+    zeroed block table aliases page 0, which may belong to ANOTHER
+    sequence, so an unmasked write from it would corrupt live data."""
     ps = cache.page_size
     capacity = cache.block_tables.shape[1] * ps
     pos = jnp.minimum(cache.seq_lens, capacity - 1)  # (B,) write slot
-    at_cap = cache.seq_lens >= capacity
+    skip = cache.seq_lens >= capacity
+    if mask is not None:
+        skip = skip | jnp.logical_not(jnp.asarray(mask, bool))
     page = jnp.take_along_axis(
         cache.block_tables, (pos // ps)[:, None], axis=1
     )[:, 0]  # (B,)
+    # skipped rows scatter to page index num_pages: out-of-bounds scatter
+    # updates are DROPPED (jax default), so they write nothing at all —
+    # in particular they can't race a live row appending to the same slot
+    page = jnp.where(skip, cache.k_pages.shape[0], page)
     off = pos % ps
 
     def scatter(pages, x):
-        # x (B, Hkv, 1, D) -> (B, Hkv, D); at-capacity rows rewrite their
-        # current contents (no-op) instead of clobbering a live slot
-        xt = x[:, :, 0, :].astype(pages.dtype)
-        old_row = pages[page, :, off, :]
-        xt = jnp.where(at_cap[:, None, None], old_row, xt)
+        xt = x[:, :, 0, :].astype(pages.dtype)  # (B, Hkv, D)
         return pages.at[page, :, off, :].set(xt)
 
     return cache._replace(
         k_pages=scatter(cache.k_pages, k_new),
         v_pages=scatter(cache.v_pages, v_new),
-        seq_lens=jnp.minimum(cache.seq_lens + 1, capacity),
+        seq_lens=jnp.minimum(
+            cache.seq_lens + jnp.logical_not(skip), capacity
+        ),
     )
 
 
@@ -462,15 +472,22 @@ def paged_quant_prefill(cache: QuantPagedKVCache, k, v, seq_lens):
     )
 
 
-def paged_quant_append(cache: QuantPagedKVCache, k_new, v_new):
-    """Quantize + append ONE token per sequence."""
+def paged_quant_append(cache: QuantPagedKVCache, k_new, v_new, mask=None):
+    """Quantize + append ONE token per sequence. Same capacity/mask
+    semantics as paged_append: at-capacity or mask=False rows write
+    nothing (OOB-dropped scatter) and their seq_lens stay put."""
     from .quant import quantize_tensor
 
     ps = cache.page_size
-    pos = cache.seq_lens
+    capacity = cache.block_tables.shape[1] * ps
+    pos = jnp.minimum(cache.seq_lens, capacity - 1)
+    skip = cache.seq_lens >= capacity
+    if mask is not None:
+        skip = skip | jnp.logical_not(jnp.asarray(mask, bool))
     page = jnp.take_along_axis(
         cache.block_tables, (pos // ps)[:, None], axis=1
     )[:, 0]
+    page = jnp.where(skip, cache.k_pages.shape[0], page)
     off = pos % ps
     qdtype = _qdtype_of(cache)
 
@@ -486,7 +503,10 @@ def paged_quant_append(cache: QuantPagedKVCache, k_new, v_new):
     kp, ks = scatter(cache.k_pages, cache.k_scales, k_new)
     vp, vs = scatter(cache.v_pages, cache.v_scales, v_new)
     return cache._replace(
-        k_pages=kp, k_scales=ks, v_pages=vp, v_scales=vs, seq_lens=pos + 1,
+        k_pages=kp, k_scales=ks, v_pages=vp, v_scales=vs,
+        seq_lens=jnp.minimum(
+            cache.seq_lens + jnp.logical_not(skip), capacity
+        ),
     )
 
 
