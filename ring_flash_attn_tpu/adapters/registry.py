@@ -164,12 +164,12 @@ def _impl_fused_ring(q, k, v, *, scale=None, causal=True, axis_name=None,
         kw.setdefault("bwd_backend", backend)
     assert not any(
         x is not None
-        for x in (segment_ids, positions, softcap, alibi_slopes, dropout_p,
-                  window_left)
-    ), "fused_ring supports plain causal/non-causal attention only"
+        for x in (segment_ids, positions, dropout_p, window_left)
+    ), "fused_ring supports causal/non-causal (+softcap/ALiBi) only"
     out, _ = fused_ring_attention(
         _bshd(q), _bshd(k), _bshd(v), scale=_norm(q, scale), causal=causal,
-        axis_name=axis_name, **kw,
+        axis_name=axis_name, softcap=softcap, alibi_slopes=alibi_slopes,
+        **kw,
     )
     return _bshd(out)
 

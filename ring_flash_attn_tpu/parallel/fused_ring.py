@@ -75,6 +75,7 @@ def _fused_ring_fwd_kernel(
     q_hbm,  # (B, Hq, L, D) pre-scaled q, HBM — streamed per (g, q-block)
     k_ref,  # (1, 1, L, D) local kv shard, VMEM
     v_ref,  # (1, 1, L, D)
+    slopes_ref,  # (Hq,) f32 SMEM, ALiBi slopes * log2e (zeros when unused)
     out_hbm,  # (B, Hq, L, D) HBM — written per (g, q-block) at the end
     lse_ref,  # (1, group, L, 1) f32 windowed VMEM output (single-lane
               # arrays cannot be manually DMA'd — HBM memref slices must
@@ -102,6 +103,8 @@ def _fused_ring_fwd_kernel(
     l_local,
     blk_q,
     blk_kv,
+    softcap,
+    use_alibi,
 ):
     rank = jax.lax.axis_index(axis_name)
     nxt = jax.lax.rem(rank + 1, world)
@@ -126,7 +129,7 @@ def _fused_ring_fwd_kernel(
         c.start()
         c.wait()
 
-    def _attend(kk_ref, vv_ref, diagonal):
+    def _attend(kk_ref, vv_ref, diagonal, kv_rank):
         """Online-softmax update of (m, l, acc) with the resident kv
         (kk_ref/vv_ref are (L, D) sub-refs — VMEM-resident shard or comm
         slot). q blocks and KV chunks iterate via lax.fori_loop so the
@@ -137,7 +140,9 @@ def _fused_ring_fwd_kernel(
         diagonal=True applies the local causal mask (step 0) and bounds
         the KV chunk loop at each q block's diagonal; later steps are
         mask-free for every rank that computes — the reference's case
-        split (ring_flash_attn.py:30-39)."""
+        split (ring_flash_attn.py:30-39). kv_rank (traced) is the source
+        rank of the resident kv: ALiBi distances need GLOBAL positions,
+        q at rank*L + row and kv at kv_rank*L + col."""
         for g in range(group):
             def qb_body(qb, _, g=g):
                 row = pl.ds(qb * blk_q, blk_q)
@@ -150,13 +155,34 @@ def _fused_ring_fwd_kernel(
                 else:
                     nkb = n_kb
 
-                def kb_body(kb, _):
+                def kb_body(kb, _, g=g):
                     ks = pl.ds(kb * blk_kv, blk_kv)
                     s = jax.lax.dot_general(
                         qs, kk_ref[ks, :],
                         dimension_numbers=(((1,), (1,)), ((), ())),
                         preferred_element_type=jnp.float32,
                     )  # (blk_q, blk_kv) base-2 logits
+                    if softcap:
+                        # same base-2 capping as the grid kernels
+                        # (ops/pallas_fwd.py): cap2*tanh(s/cap2)
+                        cap2 = jnp.float32(softcap * _LOG2E)
+                        s = cap2 * jnp.tanh(s * (1.0 / cap2))
+                    if use_alibi:
+                        rows_g = (
+                            jax.lax.broadcasted_iota(
+                                jnp.int32, (blk_q, 1), 0)
+                            + qb * blk_q + rank * l_local
+                        )
+                        cols_g = (
+                            jax.lax.broadcasted_iota(
+                                jnp.int32, (1, blk_kv), 1)
+                            + kb * blk_kv + kv_rank * l_local
+                        )
+                        dist = (rows_g - cols_g).astype(jnp.float32)
+                        if not causal:
+                            dist = jnp.abs(dist)
+                        # slopes arrive pre-multiplied by log2e
+                        s = s - slopes_ref[hk * group + g] * dist
                     if diagonal:
                         rows = jax.lax.broadcasted_iota(
                             jnp.int32, (blk_q, 1), 0) + qb * blk_q
@@ -240,20 +266,22 @@ def _fused_ring_fwd_kernel(
             ).wait_recv()
 
     if world == 1:
-        _attend(k_ref.at[0, 0], v_ref.at[0, 0], causal)
+        _attend(k_ref.at[0, 0], v_ref.at[0, 0], causal, rank)
     else:
         # upstream's step-0 send targets our slot 1: grant it
         _grant(1)
         for step in range(world):
             recv_slot = step % 2  # where THIS step's kv lives (step>=1)
             next_slot = (step + 1) % 2
+            # resident kv originated at rank - step (mod world)
+            src_rank = jax.lax.rem(rank - step + world, world)
             sends = None
             if step == 0:
                 # forward the local shard, then compute on it (the DMA
                 # hides behind the whole step's matmuls)
                 _wait_credit(next_slot)
                 sends = _send(k_ref.at[0, 0], v_ref.at[0, 0], next_slot)
-                _attend(k_ref.at[0, 0], v_ref.at[0, 0], causal)
+                _attend(k_ref.at[0, 0], v_ref.at[0, 0], causal, rank)
             else:
                 # this step's kv must have landed (two copies: k and v)
                 _wait_recv(recv_slot)
@@ -269,10 +297,10 @@ def _fused_ring_fwd_kernel(
                     @pl.when(step <= rank)
                     def _():
                         _attend(comm.at[recv_slot, 0],
-                                comm.at[recv_slot, 1], False)
+                                comm.at[recv_slot, 1], False, src_rank)
                 else:
                     _attend(comm.at[recv_slot, 0], comm.at[recv_slot, 1],
-                            False)
+                            False, src_rank)
 
             if sends is not None:
                 # resident data must be fully out the door before its slot
@@ -317,7 +345,7 @@ def _fused_ring_fwd_kernel(
 
 def _fused_ring_forward(q, k, v, *, scale, causal, axis_name,
                         blk_q=None, blk_kv=None, interpret=False,
-                        collective_id=7):
+                        collective_id=7, softcap=None, alibi_slopes=None):
     """Non-differentiable fused-ring forward (see fused_ring_attention)."""
     b, hq, l_local, d_ = q.shape
     _, hkv, _, _ = k.shape
@@ -345,6 +373,12 @@ def _fused_ring_forward(q, k, v, *, scale, causal, axis_name,
     )
 
     qs = (q.astype(jnp.float32) * (scale * _LOG2E)).astype(q.dtype)
+    # slopes always ride (zeros when ALiBi is off) so the kernel signature
+    # stays static; pre-multiplied by log2e for the base-2 logit regime
+    slopes = (
+        jnp.zeros((hq,), jnp.float32) if alibi_slopes is None
+        else jnp.asarray(alibi_slopes, jnp.float32) * _LOG2E
+    )
 
     kernel = functools.partial(
         _fused_ring_fwd_kernel,
@@ -355,6 +389,8 @@ def _fused_ring_forward(q, k, v, *, scale, causal, axis_name,
         l_local=l_local,
         blk_q=blk_q,
         blk_kv=blk_kv,
+        softcap=float(softcap) if softcap else None,
+        use_alibi=alibi_slopes is not None,
     )
 
     out, lse = pl.pallas_call(
@@ -366,6 +402,7 @@ def _fused_ring_forward(q, k, v, *, scale, causal, axis_name,
                          memory_space=pltpu.VMEM),
             pl.BlockSpec((1, 1, l_local, d_), lambda bi, hi: (bi, hi, 0, 0),
                          memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # alibi slopes
         ],
         out_specs=[
             pl.BlockSpec(memory_space=pltpu.ANY),  # out DMA'd per block
@@ -398,7 +435,7 @@ def _fused_ring_forward(q, k, v, *, scale, causal, axis_name,
             vmem_limit_bytes=115 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(qs, k, v)
+    )(qs, k, v, slopes)
     return out, lse.squeeze(-1)
 
 
@@ -410,6 +447,7 @@ def _fused_ring_bwd_kernel(
     out_hbm,  # (B, Hq, L, D) HBM forward output — streamed per block;
               # delta = scale * rowsum(dout * out) is computed in-kernel
               # (single-lane HBM arrays cannot be manually DMA'd)
+    slopes_ref,  # (Hq,) f32 SMEM, ALiBi slopes * log2e (zeros when unused)
     lse_ref,  # (1, group, L, 1) f32 base-2 clamped, windowed VMEM input
     dq_hbm,  # (B, Hq, L, D) f32 out, HBM — DMA'd from the dq accumulator
     dk_hbm,  # (B, Hkv, L, D) f32 out, HBM
@@ -443,6 +481,8 @@ def _fused_ring_bwd_kernel(
     blk_kv,
     dk_rescale,
     scale,
+    softcap,
+    use_alibi,
 ):
     rank = jax.lax.axis_index(axis_name)
     nxt = jax.lax.rem(rank + 1, world)
@@ -476,7 +516,7 @@ def _fused_ring_bwd_kernel(
 
     kv_dtype = k_ref.dtype
 
-    def _compute_step(kk_ref, vv_ref, diagonal):
+    def _compute_step(kk_ref, vv_ref, diagonal, kv_rank):
         """Accumulate this step's dq into dq_ref and dk/dv into dk_s/dv_s
         against the resident kv ((L, D) sub-refs: kk raw k, vv pre-scaled
         v). q blocks and KV chunks iterate via lax.fori_loop — compact
@@ -484,7 +524,9 @@ def _fused_ring_bwd_kernel(
         intermediates (see _attend in the forward kernel).
 
         diagonal=True is step 0 (local causal): the KV chunk loop is
-        bounded at each q block's diagonal and chunks pay the mask."""
+        bounded at each q block's diagonal and chunks pay the mask.
+        kv_rank (traced) = source rank of the resident kv, for ALiBi's
+        global distances (mirrors _attend)."""
         for g in range(group):
             def qb_body(qb, _, g=g):
                 _stream_blocks(g, qb)
@@ -504,13 +546,34 @@ def _fused_ring_bwd_kernel(
                 else:
                     nkb = n_kb
 
-                def kb_body(kb, _):
+                def kb_body(kb, _, g=g):
                     ks = pl.ds(kb * blk_kv, blk_kv)
                     s = jax.lax.dot_general(
                         qs_blk, kk_ref[ks, :],
                         dimension_numbers=(((1,), (1,)), ((), ())),
                         preferred_element_type=jnp.float32,
                     )  # (blk_q, blk_kv) base-2 logits
+                    if softcap:
+                        # p must be recomputed through the SAME transform
+                        # as the forward; tt feeds the ds chain rule below
+                        cap2 = jnp.float32(softcap * _LOG2E)
+                        tt = jnp.tanh(s * (1.0 / cap2))
+                        s = cap2 * tt
+                    if use_alibi:
+                        rows_g = (
+                            jax.lax.broadcasted_iota(
+                                jnp.int32, (blk_q, 1), 0)
+                            + qb * blk_q + rank * l_local
+                        )
+                        cols_g = (
+                            jax.lax.broadcasted_iota(
+                                jnp.int32, (1, blk_kv), 1)
+                            + kb * blk_kv + kv_rank * l_local
+                        )
+                        dist = (rows_g - cols_g).astype(jnp.float32)
+                        if not causal:
+                            dist = jnp.abs(dist)
+                        s = s - slopes_ref[hk * group + g] * dist
                     if diagonal:
                         rows = jax.lax.broadcasted_iota(
                             jnp.int32, (blk_q, 1), 0) + qb * blk_q
@@ -524,6 +587,9 @@ def _fused_ring_bwd_kernel(
                         preferred_element_type=jnp.float32,
                     )  # scale * dout @ v^T
                     ds = pr * (dp - delta_col)
+                    if softcap:
+                        # chain rule through cap2*tanh(s/cap2)
+                        ds = ds * (1.0 - tt * tt)
                     dq_acc[g, row, :] += jax.lax.dot_general(
                         ds.astype(kv_dtype), kk_ref[ks, :],
                         dimension_numbers=(((1,), (0,)), ((), ())),
@@ -627,7 +693,7 @@ def _fused_ring_bwd_kernel(
     if world == 1:
         dk_s[...] = jnp.zeros_like(dk_s)
         dv_s[...] = jnp.zeros_like(dv_s)
-        _compute_step(k_ref.at[0, 0], vs_ref.at[0, 0], causal)
+        _compute_step(k_ref.at[0, 0], vs_ref.at[0, 0], causal, rank)
         dk_s[...] = dk_s[...] * jnp.float32(dk_rescale)
         _flush_outputs(dk_s, dv_s)
         return
@@ -642,13 +708,15 @@ def _fused_ring_bwd_kernel(
     for step in range(world):
         recv_slot = step % 2
         next_slot = (step + 1) % 2
+        # resident kv originated at rank - step (mod world)
+        src_rank = jax.lax.rem(rank - step + world, world)
         dk_s[...] = jnp.zeros_like(dk_s)
         dv_s[...] = jnp.zeros_like(dv_s)
         kv_sends = None
         if step == 0:
             _wait_credit_kv(next_slot)
             kv_sends = _send_kv(k_ref.at[0, 0], vs_ref.at[0, 0], next_slot)
-            _compute_step(k_ref.at[0, 0], vs_ref.at[0, 0], causal)
+            _compute_step(k_ref.at[0, 0], vs_ref.at[0, 0], causal, rank)
             # own-kv accumulator = just this step's contributions
             _wait_credit_dkv(next_slot)
             dkv_sends = _send_dkv(dk_s, dv_s, next_slot)
@@ -667,12 +735,12 @@ def _fused_ring_bwd_kernel(
                 def _():
                     _compute_step(
                         comm_kv.at[recv_slot, 0], comm_kv.at[recv_slot, 1],
-                        False,
+                        False, src_rank,
                     )
             else:
                 _compute_step(
                     comm_kv.at[recv_slot, 0], comm_kv.at[recv_slot, 1],
-                    False,
+                    False, src_rank,
                 )
             # merge this step's contributions into the traveling
             # accumulator (zeros if the step was causally skipped), then
@@ -705,7 +773,8 @@ def _fused_ring_bwd_kernel(
 
 def _fused_ring_backward(q, k, v, dout, out, lse, *, scale, causal,
                          axis_name, blk_q=None, blk_kv=None,
-                         interpret=False, collective_id=8):
+                         interpret=False, collective_id=8,
+                         softcap=None, alibi_slopes=None):
     """In-kernel dual-ring backward: kv rotates forward while the dk/dv
     accumulators co-rotate, all inside one pallas_call — the fused analog
     of parallel.ring._ring_bwd (and of the reference's counter-rotating
@@ -734,6 +803,10 @@ def _fused_ring_backward(q, k, v, dout, out, lse, *, scale, causal,
     lse4 = jnp.maximum(
         lse.astype(jnp.float32) * _LOG2E, NEG_INF / 2
     )[..., None]
+    slopes = (
+        jnp.zeros((hq,), jnp.float32) if alibi_slopes is None
+        else jnp.asarray(alibi_slopes, jnp.float32) * _LOG2E
+    )
 
     kernel = functools.partial(
         _fused_ring_bwd_kernel,
@@ -746,6 +819,8 @@ def _fused_ring_backward(q, k, v, dout, out, lse, *, scale, causal,
         blk_kv=blk_kv,
         dk_rescale=_LN2 / scale,
         scale=scale,
+        softcap=float(softcap) if softcap else None,
+        use_alibi=alibi_slopes is not None,
     )
 
     blkkv = lambda: pl.BlockSpec(
@@ -761,7 +836,9 @@ def _fused_ring_backward(q, k, v, dout, out, lse, *, scale, causal,
         kernel,
         grid=(b, hkv),
         in_specs=[
-            anyspec(), blkkv(), blkkv(), anyspec(), anyspec(), lsespec,
+            anyspec(), blkkv(), blkkv(), anyspec(), anyspec(),
+            pl.BlockSpec(memory_space=pltpu.SMEM),  # alibi slopes
+            lsespec,
         ],
         out_specs=[anyspec(), anyspec(), anyspec()],
         out_shape=[
@@ -796,17 +873,24 @@ def _fused_ring_backward(q, k, v, dout, out, lse, *, scale, causal,
             vmem_limit_bytes=115 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(qs, k, vsc, dout, out, lse4)
+    )(qs, k, vsc, dout, out, slopes, lse4)
     return dq, dk, dv
 
 
 def fused_ring_attention(q, k, v, *, scale, causal, axis_name,
                          blk_q=None, interpret=False, collective_id=7,
-                         bwd_backend=None, bwd_mode="auto"):
+                         bwd_backend=None, bwd_mode="auto",
+                         softcap=None, alibi_slopes=None):
     """Differentiable fused-ring attention on per-shard (B, Hq, L, D)
     tensors (contiguous sequence sharding, same layout as parallel.ring).
     Call inside shard_map over a 1-D ring axis. Returns
     (out in q.dtype, lse f32 (B, Hq, L)).
+
+    Supports the cheap in-kernel logit transforms: softcap (tanh logit
+    capping, same semantics as the grid kernels) and ALiBi (alibi_slopes,
+    (Hq,) per-head slopes; distances use GLOBAL positions rank*L+row —
+    matching ops.mask.alibi_bias). Segment/window/dropout extras stay
+    schedule-level (ring_attention / the varlen rings).
 
     Forward runs the in-kernel RDMA ring. Backward (bwd_mode):
     - "fused": the in-kernel dual ring (_fused_ring_backward) — kv and the
@@ -829,6 +913,7 @@ def fused_ring_attention(q, k, v, *, scale, causal, axis_name,
         return _fused_ring_forward(
             q, k, v, scale=scale, causal=causal, axis_name=axis_name,
             blk_q=blk_q, interpret=interpret, collective_id=collective_id,
+            softcap=softcap, alibi_slopes=alibi_slopes,
         )
 
     def f_fwd(q, k, v):
@@ -855,6 +940,7 @@ def fused_ring_attention(q, k, v, *, scale, causal, axis_name,
                 q, k, v, dout, out, lse, scale=scale, causal=causal,
                 axis_name=axis_name, interpret=interpret,
                 collective_id=collective_id + 1,
+                softcap=softcap, alibi_slopes=alibi_slopes,
             )
         else:
             backend = (
@@ -863,7 +949,7 @@ def fused_ring_attention(q, k, v, *, scale, causal, axis_name,
             )
             dq, dk, dv = _ring_bwd(
                 q, k, v, out, lse, dout, scale, causal, axis_name, backend,
-                {},
+                dict(softcap=softcap, alibi_slopes=alibi_slopes),
             )
         return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)
 

@@ -124,3 +124,76 @@ def test_bwd_auto_gate_matches_kernel_assert():
     # Headline shape stays admitted: L=8192, D=128, group=4, bf16.
     assert fused_ring_bwd_supported(8192, 128, 4, 2)
     assert _bwd_vmem_bytes(8192, 128, 4, 2) < _VMEM_BUDGET
+
+
+def _slopes(n):
+    return jnp.asarray([2.0 ** (-8.0 * (i + 1) / n) for i in range(n)],
+                       jnp.float32)
+
+
+def _extras_oracle(q, k, v, causal, softcap, slopes):
+    """Plain softmax with softcap-then-ALiBi on the scaled logits — same
+    transform order as ops.mask (and the in-kernel path)."""
+    b, hq, s, d = q.shape
+    hkv = k.shape[1]
+    g = hq // hkv
+    qf = q.astype(jnp.float32).reshape(b, hkv, g, s, d)
+    logits = jnp.einsum(
+        "bhgqd,bhkd->bhgqk", qf, k.astype(jnp.float32)
+    ) * SCALE
+    if softcap:
+        logits = softcap * jnp.tanh(logits / softcap)
+    i = jnp.arange(s)
+    if slopes is not None:
+        dist = (i[:, None] - i[None, :]).astype(jnp.float32)
+        if not causal:
+            dist = jnp.abs(dist)
+        logits = logits - slopes.reshape(hkv, g, 1, 1) * dist
+    if causal:
+        logits = jnp.where(i[:, None] >= i[None, :], logits, -jnp.inf)
+    p = jax.nn.softmax(logits, axis=-1)
+    out = jnp.einsum("bhgqk,bhkd->bhgqd", p, v.astype(jnp.float32))
+    return out.reshape(b, hq, s, d)
+
+
+@pytest.mark.parametrize("causal,softcap,alibi,bwd_mode", [
+    (True, 25.0, False, "fused"),
+    (True, None, True, "fused"),
+    (False, 25.0, True, "fused"),
+    (True, 25.0, True, "schedule"),
+])
+def test_fused_ring_extras(devices8, data, causal, softcap, alibi, bwd_mode):
+    """Softcap/ALiBi ride inside the fused kernels (fwd + in-kernel dual
+    -ring bwd); ALiBi distances use global positions across ring steps.
+    The 'schedule' case checks the fallback backward threads the same
+    extras (round-2 verdict item 6a)."""
+    mesh = Mesh(devices8, ("sp",))
+    q, k, v = data
+    slopes = _slopes(HQ) if alibi else None
+    dout = jax.random.normal(jax.random.PRNGKey(4), (B, HQ, S, D),
+                             jnp.float32)
+
+    @partial(shard_map, mesh=mesh, in_specs=(SPEC4,) * 3,
+             out_specs=(SPEC4, SPEC3), check_vma=False)
+    def sharded(q, k, v):
+        return fused_ring_attention(
+            q, k, v, scale=SCALE, causal=causal, axis_name="sp",
+            interpret=True, bwd_mode=bwd_mode, softcap=softcap,
+            alibi_slopes=slopes,
+        )
+
+    def loss(q, k, v):
+        return jnp.sum(sharded(q, k, v)[0] * dout)
+
+    out = jax.jit(sharded)(q, k, v)[0]
+    ref = _extras_oracle(q, k, v, causal, softcap, slopes)
+    assert jnp.max(jnp.abs(out - ref)) < 3e-5
+
+    g1 = jax.jit(jax.grad(loss, (0, 1, 2)))(q, k, v)
+    g2 = jax.grad(
+        lambda q, k, v: jnp.sum(
+            _extras_oracle(q, k, v, causal, softcap, slopes) * dout
+        ), (0, 1, 2)
+    )(q, k, v)
+    for a, b in zip(g1, g2):
+        assert jnp.max(jnp.abs(a - b)) < 2e-4
