@@ -148,6 +148,64 @@ def check_schedule_w1(sq=4096, d=128):
         )
 
 
+def check_fused_ring_w1(sq=4096, d=128):
+    """World=1 fused in-kernel-RDMA ring with softcap + ALiBi (round-3
+    extras), Mosaic-compiled: fwd + the fused dual-ring backward vs the
+    grid flash kernel carrying the same extras via MaskArgs. Interpret
+    mode cannot surface Mosaic-only failures (SMEM slope loads, traced
+    src-rank iota arithmetic), so this is the real gate."""
+    from jax.sharding import Mesh, PartitionSpec as P
+    from jax import shard_map
+    from ring_flash_attn_tpu.parallel.fused_ring import fused_ring_attention
+    from ring_flash_attn_tpu.ops.flash import flash_attention
+
+    b, hq, hkv = 1, 8, 2
+    cap = 30.0
+    slopes = jnp.asarray(np.geomspace(1.0, 1 / 256, hq), jnp.float32)
+    ks = jax.random.split(jax.random.PRNGKey(5), 4)
+    q = jax.random.normal(ks[0], (b, hq, sq, d), jnp.bfloat16)
+    k = jax.random.normal(ks[1], (b, hkv, sq, d), jnp.bfloat16)
+    v = jax.random.normal(ks[2], (b, hkv, sq, d), jnp.bfloat16)
+    dout = jax.random.normal(ks[3], (b, hq, sq, d), jnp.bfloat16)
+    scale = d**-0.5
+    mesh = Mesh(np.array(jax.devices()[:1]), ("sp",))
+
+    def step(q, k, v):
+        def loss(q, k, v):
+            o, _ = fused_ring_attention(
+                q, k, v, scale=scale, causal=True, axis_name="sp",
+                bwd_mode="fused", softcap=cap, alibi_slopes=slopes,
+            )
+            return jnp.sum(o.astype(jnp.float32) * dout.astype(jnp.float32))
+
+        return jax.grad(loss, (0, 1, 2))(q, k, v)
+
+    sharded = jax.jit(
+        shard_map(
+            step, mesh=mesh,
+            in_specs=(P(None, None, "sp"),) * 3,
+            out_specs=(P(None, None, "sp"),) * 3,
+            check_vma=False,
+        )
+    )
+    got = sharded(q, k, v)
+
+    margs = MaskArgs(causal=True, softcap=cap, alibi_slopes=slopes)
+
+    def ref_loss(q, k, v):
+        o, _ = flash_attention(q, k, v, scale, margs, backend="pallas")
+        return jnp.sum(o.astype(jnp.float32) * dout.astype(jnp.float32))
+
+    ref = jax.jit(jax.grad(ref_loss, (0, 1, 2)))(q, k, v)
+    for gname, a, b_ in zip(("dq", "dk", "dv"), got, ref):
+        _report(
+            "fused-ring-w1-extras", gname,
+            float(jnp.max(jnp.abs(a.astype(jnp.float32)
+                                  - b_.astype(jnp.float32)))),
+            TOL_GRAD,
+        )
+
+
 def check_decode_kernels():
     """Serving-path kernels Mosaic-compiled: quantized contiguous decode,
     paged decode, and quantized paged decode vs their XLA oracles."""
@@ -281,6 +339,7 @@ def main():
     )
     if not args.quick:
         check_schedule_w1()
+        check_fused_ring_w1()
         check_decode_kernels()
 
     if FAILURES:
