@@ -116,7 +116,10 @@ def _bwd_fused_kernel(
         dk_ref[...] = jnp.zeros_like(dk_ref)
         dv_ref[...] = jnp.zeros_like(dv_ref)
 
-    @pl.when(ikv == 0)
+    # qlast_map carries per-pair flags: bit0 = last kv pair for this
+    # (g, q-block) -> flush dq; bit1 = first -> zero the dq scratch
+    # (with a compact enumeration the first pair need not be ikv == 0)
+    @pl.when((qlast_map_ref[p] & 2) == 2)
     def _init_qblock():
         dq_s[...] = jnp.zeros_like(dq_s)
 
@@ -262,7 +265,7 @@ def _bwd_fused_kernel(
         else:
             _body(t, False)
 
-    @pl.when(qlast_map_ref[p] == 1)
+    @pl.when((qlast_map_ref[p] & 1) == 1)
     def _flush_dq():
         dq_ref[0, 0] = dq_s[...]
 
@@ -315,34 +318,49 @@ def pallas_block_bwd_fused(dout, q, k, v, lse, delta, scale,
     lse4 = lse2[..., None]
     delta4 = (delta.astype(jnp.float32) * scale)[..., None]
 
+    use_meta = use_segments or use_positions
+    # numpy (static) metadata -> compact enumeration, as in pallas_fwd
+    static_meta = use_meta and all(
+        x is None or isinstance(x, np.ndarray)
+        for x in (mask.q_segids, mask.kv_segids, mask.q_pos, mask.kv_pos)
+    )
+    if use_meta:
+        from .pallas_fwd import block_meta
+
+        q_meta, kv_meta = block_meta(
+            mask, blk_q, blk_kv, kv_sub, n_q, n_kv,
+            xp=np if static_meta else jnp,
+        )
+    else:
+        q_meta = np.zeros((6, 1), np.int32)  # unused
+        kv_meta = np.zeros((6, 1), np.int32)
+    compact = triangular and static_meta
+
     # Pair enumeration: q-major per GQA group member, kv innermost so dq
-    # accumulates in scratch; causal+static-offset prunes above-diagonal.
-    pairs = []  # (g, iq, ikv, qlast)
+    # accumulates in scratch; causal+static-offset prunes above-diagonal,
+    # and with static metadata the enumeration drops provably-masked
+    # macro pairs entirely (flags bit0 = flush dq, bit1 = zero dq scratch).
+    pairs = []  # (g, iq, ikv, flags)
     for g in range(group):
         for iq in range(n_q):
             if triangular:
-                nkv = min(
-                    n_kv,
-                    max(1, ((iq + 1) * blk_q - 1 + static_offset) // blk_kv
-                        + 1),
+                end = min(
+                    n_kv - 1,
+                    max(0, ((iq + 1) * blk_q - 1 + static_offset) // blk_kv),
                 )
+                start = 0
+                if compact:
+                    end = min(end, int(q_meta[5, iq]))
+                    start = min(int(q_meta[4, iq]), end)
             else:
-                nkv = n_kv
-            for ikv in range(nkv):
-                pairs.append((g, iq, ikv, int(ikv == nkv - 1)))
+                start, end = 0, n_kv - 1
+            for ikv in range(start, end + 1):
+                flags = int(ikv == end) | (int(ikv == start) << 1)
+                pairs.append((g, iq, ikv, flags))
     g_map = np.asarray([x[0] for x in pairs], np.int32)
     iq_map = np.asarray([x[1] for x in pairs], np.int32)
     ikv_map = np.asarray([x[2] for x in pairs], np.int32)
     qlast_map = np.asarray([x[3] for x in pairs], np.int32)
-
-    use_meta = use_segments or use_positions
-    if use_meta:
-        from .pallas_fwd import block_meta
-
-        q_meta, kv_meta = block_meta(mask, blk_q, blk_kv, kv_sub, n_q, n_kv)
-    else:
-        q_meta = np.zeros((6, 1), np.int32)  # unused
-        kv_meta = np.zeros((6, 1), np.int32)
 
     grid = (b, hkv, len(pairs))
     n_prefetch = 7

@@ -88,23 +88,23 @@ def mask_info(mask):
     return info, rel_static, static_rel
 
 
-def _block_bounds(x, blk):
-    xb = jnp.asarray(x, jnp.int32).reshape(-1, blk)
-    return jnp.min(xb, axis=1), jnp.max(xb, axis=1)
+def _block_bounds(x, blk, xp=jnp):
+    xb = xp.asarray(x, xp.int32).reshape(-1, blk)
+    return xp.min(xb, axis=1), xp.max(xb, axis=1)
 
 
-def _needed_range(needed, axis):
+def _needed_range(needed, axis, xp=jnp):
     """first/last True index along `axis` of a 2-D bool matrix (0 if none)."""
     n = needed.shape[axis]
     any_ = needed.any(axis=axis)
-    first = jnp.where(any_, jnp.argmax(needed, axis=axis), 0)
-    last = jnp.where(
-        any_, n - 1 - jnp.argmax(jnp.flip(needed, axis=axis), axis=axis), 0
+    first = xp.where(any_, xp.argmax(needed, axis=axis), 0)
+    last = xp.where(
+        any_, n - 1 - xp.argmax(xp.flip(needed, axis=axis), axis=axis), 0
     )
-    return first.astype(jnp.int32), last.astype(jnp.int32)
+    return first.astype(xp.int32), last.astype(xp.int32)
 
 
-def block_meta(mask: "MaskArgs", blk_q, blk_kv, kv_sub, n_q, n_kv):
+def block_meta(mask: "MaskArgs", blk_q, blk_kv, kv_sub, n_q, n_kv, xp=jnp):
     """Scalar-prefetch block bounds for segment/position-aware skipping.
 
     Returns (q_meta (6, n_q), kv_meta (6, n_kv * blk_kv // kv_sub)) int32:
@@ -122,24 +122,24 @@ def block_meta(mask: "MaskArgs", blk_q, blk_kv, kv_sub, n_q, n_kv):
     """
     use_segments = mask.q_segids is not None
     use_positions = mask.q_pos is not None
-    z_q = jnp.zeros((n_q,), jnp.int32)
+    z_q = xp.zeros((n_q,), xp.int32)
     n_kv_sub = n_kv * (blk_kv // kv_sub)
-    z_kv = jnp.zeros((n_kv_sub,), jnp.int32)
+    z_kv = xp.zeros((n_kv_sub,), xp.int32)
     qsmin = qsmax = z_q
     ksmin = ksmax = z_kv
     qpmin = qpmax = z_q
     kpmin = kpmax = z_kv
     if use_segments:
-        qsmin, qsmax = _block_bounds(mask.q_segids, blk_q)
-        ksmin, ksmax = _block_bounds(mask.kv_segids, kv_sub)
+        qsmin, qsmax = _block_bounds(mask.q_segids, blk_q, xp)
+        ksmin, ksmax = _block_bounds(mask.kv_segids, kv_sub, xp)
     if use_positions:
-        qpmin, qpmax = _block_bounds(mask.q_pos, blk_q)
-        kpmin, kpmax = _block_bounds(mask.kv_pos, kv_sub)
+        qpmin, qpmax = _block_bounds(mask.q_pos, blk_q, xp)
+        kpmin, kpmax = _block_bounds(mask.kv_pos, kv_sub, xp)
 
     # (n_q, n_kv_sub) skip matrix == the kernels' scalar predicate,
     # vectorized (causal-by-iota handled by the kernels' block arithmetic
     # and the existing causal index-map clamp, not here)
-    skip = jnp.zeros((n_q, n_kv_sub), bool)
+    skip = xp.zeros((n_q, n_kv_sub), bool)
     if use_segments:
         skip |= (qsmax[:, None] < ksmin[None, :]) | (
             ksmax[None, :] < qsmin[:, None]
@@ -148,13 +148,13 @@ def block_meta(mask: "MaskArgs", blk_q, blk_kv, kv_sub, n_q, n_kv):
         skip |= qpmax[:, None] < kpmin[None, :]
         if mask.window_left is not None:
             skip |= (qpmin[:, None] - kpmax[None, :]) > mask.window_left
-    needed = jnp.logical_not(skip)
+    needed = xp.logical_not(skip)
     kv_first, kv_last = _needed_range(
-        needed.reshape(n_q, n_kv, -1).any(axis=2), axis=1
+        needed.reshape(n_q, n_kv, -1).any(axis=2), axis=1, xp=xp
     )
-    q_first, q_last = _needed_range(needed, axis=0)
-    q_meta = jnp.stack([qsmin, qsmax, qpmin, qpmax, kv_first, kv_last])
-    kv_meta = jnp.stack([ksmin, ksmax, kpmin, kpmax, q_first, q_last])
+    q_first, q_last = _needed_range(needed, axis=0, xp=xp)
+    q_meta = xp.stack([qsmin, qsmax, qpmin, qpmax, kv_first, kv_last])
+    kv_meta = xp.stack([ksmin, ksmax, kpmin, kpmax, q_first, q_last])
     return q_meta, kv_meta
 
 
@@ -170,6 +170,7 @@ def _fwd_kernel(
     use_positions,
     use_segments,
     triangular,
+    compact,
     static_offset,
     window_left,
     softcap,
@@ -211,19 +212,28 @@ def _fwd_kernel(
         p = pl.program_id(2)
         iq = iq_map_ref[p]
         ikv = ikv_map_ref[p]
-        # #kv blocks this q block needs (static offset => scalar arithmetic)
-        nkv_needed = jnp.clip(
-            ((iq + 1) * blk_q - 1 + static_offset) // blk_kv + 1,
-            1,
-            num_kv_blocks,
-        )
-        is_last = ikv == nkv_needed - 1
+        if compact:
+            # compact enumeration runs [row4, row5] per q block (wrapper
+            # clamps the rows to the enumerated range)
+            is_last = ikv == qmeta_ref[5, iq]
+            init_kv = qmeta_ref[4, iq]
+        else:
+            # #kv blocks this q block needs (static offset => scalar
+            # arithmetic)
+            nkv_needed = jnp.clip(
+                ((iq + 1) * blk_q - 1 + static_offset) // blk_kv + 1,
+                1,
+                num_kv_blocks,
+            )
+            is_last = ikv == nkv_needed - 1
+            init_kv = 0
     else:
         iq = pl.program_id(2)
         ikv = pl.program_id(3)
         is_last = ikv == num_kv_blocks - 1
+        init_kv = 0
 
-    @pl.when(ikv == 0)
+    @pl.when(ikv == init_kv)
     def _init():
         # only lane 0 of m/l is ever read; narrow stores save VPU cycles
         m_s[:, :1] = jnp.full((blk_q, 1), NEG_INF, jnp.float32)
@@ -454,8 +464,21 @@ def pallas_block_fwd(q, k, v, scale, mask: MaskArgs, interpret=False,
         triangular = causal and offset_static
 
     use_meta = use_segments or use_positions
+    # Static (numpy) metadata unlocks COMPACT pair enumeration: the grid
+    # runs over only the needed (q, kv-macro) pairs, so provably-masked
+    # blocks cost zero grid steps — the full analog of flash-attn varlen's
+    # dynamic launch config. Traced metadata (training with changing
+    # packings) keeps the static triangular grid with clamp/compute
+    # skipping. Callers opt in by passing np.ndarray segids/positions.
+    static_meta = use_meta and all(
+        x is None or isinstance(x, np.ndarray)
+        for x in (mask.q_segids, mask.kv_segids, mask.q_pos, mask.kv_pos)
+    )
     if use_meta:
-        q_meta, kv_meta = block_meta(mask, blk_q, blk_kv, kv_sub, n_q, n_kv)
+        q_meta, kv_meta = block_meta(
+            mask, blk_q, blk_kv, kv_sub, n_q, n_kv,
+            xp=np if static_meta else jnp,
+        )
     else:
         q_meta = np.zeros((6, 1), np.int32)  # unused
         kv_meta = np.zeros((6, 1), np.int32)
@@ -467,13 +490,30 @@ def pallas_block_fwd(q, k, v, scale, mask: MaskArgs, interpret=False,
             ki = jnp.clip(ki, qmeta_ref[4, qi], qmeta_ref[5, qi])
         return ki
 
+    compact = triangular and static_meta
     if triangular:
         pairs = []
-        for iq in range(n_q):
-            nkv_needed = min(
-                n_kv, max(1, ((iq + 1) * blk_q - 1 + static_offset) // blk_kv + 1)
-            )
-            pairs.extend((iq, ikv) for ikv in range(nkv_needed))
+        if compact:
+            # clamp the needed ranges to the causal triangle and write them
+            # back so the kernel's init/flush predicates (ikv == row4/row5)
+            # see exactly the enumerated range
+            q_meta = np.array(q_meta)
+            for iq in range(n_q):
+                diag = min(
+                    n_kv - 1,
+                    max(0, ((iq + 1) * blk_q - 1 + static_offset) // blk_kv),
+                )
+                end = min(diag, int(q_meta[5, iq]))
+                start = min(int(q_meta[4, iq]), end)
+                q_meta[4, iq], q_meta[5, iq] = start, end
+                pairs.extend((iq, ikv) for ikv in range(start, end + 1))
+        else:
+            for iq in range(n_q):
+                nkv_needed = min(
+                    n_kv,
+                    max(1, ((iq + 1) * blk_q - 1 + static_offset) // blk_kv + 1),
+                )
+                pairs.extend((iq, ikv) for ikv in range(nkv_needed))
         iq_map = np.asarray([p[0] for p in pairs], np.int32)
         ikv_map = np.asarray([p[1] for p in pairs], np.int32)
         grid = (b, hq, len(pairs))
@@ -571,6 +611,7 @@ def pallas_block_fwd(q, k, v, scale, mask: MaskArgs, interpret=False,
         use_positions=use_positions,
         use_segments=use_segments,
         triangular=triangular,
+        compact=compact,
         static_offset=static_offset,
         window_left=mask.window_left,
         softcap=mask.softcap,

@@ -11,16 +11,39 @@ import jax.numpy as jnp
 import numpy as np
 
 
+def _host_values(cu_seqlens):
+    """True when cu_seqlens is host-side (list/tuple/numpy) — the
+    flash-attn situation, where cu_seqlens drive the launch config. The
+    metadata then stays numpy, which opts the kernels into the COMPACT
+    pair grid (provably-masked macro blocks cost zero grid steps; one
+    compile per packing). Traced cu_seqlens keep everything traced: one
+    compile for all packings, clamp/compute skipping only."""
+    import jax
+
+    return not isinstance(cu_seqlens, jax.core.Tracer) and isinstance(
+        cu_seqlens, (list, tuple, np.ndarray)
+    )
+
+
 def cu_seqlens_to_segids(cu_seqlens, total):
     """Segment index per packed token. cu_seqlens (N+1,) int32, ascending,
-    cu_seqlens[-1] == total."""
+    cu_seqlens[-1] == total. numpy in -> numpy out (see _host_values)."""
+    if _host_values(cu_seqlens):
+        cu = np.asarray(cu_seqlens, np.int32)
+        t = np.arange(total, dtype=np.int32)
+        return (np.searchsorted(cu, t, side="right") - 1).astype(np.int32)
     t = jnp.arange(total, dtype=jnp.int32)
     cu = jnp.asarray(cu_seqlens, jnp.int32)
     return (jnp.searchsorted(cu, t, side="right") - 1).astype(jnp.int32)
 
 
 def cu_seqlens_to_positions(cu_seqlens, total):
-    """Position of each packed token within its own sequence."""
+    """Position of each packed token within its own sequence. numpy in ->
+    numpy out (see _host_values)."""
+    if _host_values(cu_seqlens):
+        cu = np.asarray(cu_seqlens, np.int32)
+        seg = cu_seqlens_to_segids(cu, total)
+        return np.arange(total, dtype=np.int32) - cu[seg]
     cu = jnp.asarray(cu_seqlens, jnp.int32)
     seg = cu_seqlens_to_segids(cu, total)
     return jnp.arange(total, dtype=jnp.int32) - cu[seg]

@@ -219,3 +219,100 @@ def test_packed_self_zigzag_grouped_layout():
     o2, l2 = pallas_block_fwd(q, k, v, SCALE, mask, interpret=True, **BLK)
     np.testing.assert_allclose(np.asarray(o2), np.asarray(o1), atol=2e-5)
     np.testing.assert_allclose(np.asarray(l2), np.asarray(l1), atol=2e-5)
+
+
+def _np_mask(mask):
+    """MaskArgs with metadata as numpy — opts into the compact grid."""
+    rep = {
+        f: np.asarray(getattr(mask, f))
+        for f in ("q_segids", "kv_segids", "q_pos", "kv_pos")
+        if getattr(mask, f) is not None
+    }
+    return mask._replace(**rep)
+
+
+@pytest.mark.parametrize("case", sorted(PACKED_CASES))
+def test_compact_grid_matches_naive(case):
+    """numpy (static) metadata compacts the triangular pair grid to only
+    the needed (q, kv-macro) pairs — flash-attn varlen's dynamic launch
+    config, the TPU way. Results must equal the traced-metadata path and
+    the oracle, and the grid must actually shrink."""
+    import functools
+    import unittest.mock as um
+
+    from ring_flash_attn_tpu.ops import pallas_fwd as pf
+
+    q, k, v, _ = _data()
+    mask = _np_mask(PACKED_CASES[case])
+    o1, l1 = naive_block_fwd(q, k, v, SCALE, mask)
+
+    grids = []
+    real_call = pf.pl.pallas_call
+
+    def spy(kernel, *a, **kw):
+        grids.append(kw["grid_spec"].grid)
+        return real_call(kernel, *a, **kw)
+
+    with um.patch.object(pf.pl, "pallas_call", spy):
+        o2, l2 = pallas_block_fwd(q, k, v, SCALE, mask, interpret=True,
+                                  **BLK)
+        traced = PACKED_CASES[case]
+        o3, l3 = pallas_block_fwd(q, k, v, SCALE, traced, interpret=True,
+                                  **BLK)
+    np.testing.assert_allclose(np.asarray(o2), np.asarray(o1), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(l2), np.asarray(l1), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(o2), np.asarray(o3), atol=2e-6)
+    compact_pairs, full_pairs = grids[0][2], grids[1][2]
+    assert compact_pairs < full_pairs, (compact_pairs, full_pairs)
+
+
+def test_compact_grid_segments_only():
+    """Compact grid with segments but no positions (batch causal layout
+    with static segids): the diagonal comes from block arithmetic, the
+    needed range from segments."""
+    seg = np.repeat(np.arange(4), S // 4).astype(np.int32)
+    mask = MaskArgs(causal=True, q_segids=seg, kv_segids=seg)
+    q, k, v, _ = _data()
+    o1, l1 = naive_block_fwd(q, k, v, SCALE, mask)
+    o2, l2 = pallas_block_fwd(q, k, v, SCALE, mask, interpret=True, **BLK)
+    np.testing.assert_allclose(np.asarray(o2), np.asarray(o1), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(l2), np.asarray(l1), atol=2e-5)
+
+
+@pytest.mark.parametrize("case", sorted(PACKED_CASES))
+def test_compact_grid_fused_bwd(case):
+    """Compact pair enumeration in the fused backward (flags map: bit0
+    flush / bit1 init) must match the traced-metadata path and naive."""
+    import unittest.mock as um
+
+    from ring_flash_attn_tpu.ops import pallas_bwd_fused as pbf
+
+    q, k, v, do = _data()
+    traced = PACKED_CASES[case]
+    mask = _np_mask(traced)
+    out, lse = naive_block_fwd(q, k, v, SCALE, traced)
+    delta = compute_delta(do, out)
+    r1 = naive_block_bwd(do, q, k, v, lse, delta, SCALE, traced)
+
+    grids = []
+    real_call = pbf.pl.pallas_call
+
+    def spy(kernel, *a, **kw):
+        grids.append(kw["grid_spec"].grid)
+        return real_call(kernel, *a, **kw)
+
+    with um.patch.object(pbf.pl, "pallas_call", spy):
+        r2 = pallas_block_bwd_fused(
+            do, q, k, v, lse, delta, SCALE, mask, interpret=True, **BLK
+        )
+        r3 = pallas_block_bwd_fused(
+            do, q, k, v, lse, delta, SCALE, traced, interpret=True, **BLK
+        )
+    for g1, g2, g3, name in zip(r1, r2, r3, "dq dk dv".split()):
+        np.testing.assert_allclose(
+            np.asarray(g2), np.asarray(g1), atol=5e-5, err_msg=name
+        )
+        np.testing.assert_allclose(
+            np.asarray(g2), np.asarray(g3), atol=2e-6, err_msg=name
+        )
+    assert grids[0][2] < grids[1][2], grids
