@@ -73,36 +73,69 @@ def run_single_chip(n=20):
         lens = np.diff(np.asarray(cu))
         flops_fwd = float(4 * HQ * D * np.sum(lens.astype(np.float64) ** 2)
                           * 0.5)
-        cu_j = jnp.asarray(cu, jnp.int32)
+        for static in (False, True):
+            if static:
+                # host cu_seqlens as a closure CONSTANT: the metadata
+                # stays numpy, the kernels run the COMPACT pair grid
+                # (one compile per packing) — flash-attn's own situation,
+                # where cu_seqlens drive the CUDA launch config. numpy
+                # constants embed in the HLO; only closed-over DEVICE
+                # arrays poison lowering through this harness's tunnel.
+                cu_np = np.asarray(cu, np.int32)
+                fwd_j = jax.jit(
+                    lambda q_, kv_, cu_np=cu_np:
+                    flash_attn_varlen_kvpacked_func(
+                        q_, kv_, cu_np, causal=True).astype(jnp.bfloat16))
 
-        # kv/cu/dout ride as jit ARGS, never closures: closed-over device
-        # arrays become jit constants whose lowering fetches them back
-        # through this harness's tunnel at ~minutes/MB
-        fwd_j = jax.jit(lambda q_, kv_, cu_: flash_attn_varlen_kvpacked_func(
-            q_, kv_, cu_, causal=True).astype(jnp.bfloat16))
+                def loss(q_, kv_, dout_, cu_np=cu_np):
+                    return jnp.sum(
+                        flash_attn_varlen_kvpacked_func(
+                            q_, kv_, cu_np, causal=True)
+                        .astype(jnp.float32) * dout_.astype(jnp.float32)
+                    )
 
-        def loss(q_, kv_, cu_, dout_):
-            return jnp.sum(
-                flash_attn_varlen_kvpacked_func(q_, kv_, cu_, causal=True)
-                .astype(jnp.float32) * dout_.astype(jnp.float32)
-            )
+                grad = jax.jit(jax.grad(loss))
+                t_f = timed(lambda q_: fwd_j(q_, kv), q, n)
+                t_fb = timed(
+                    lambda q_: grad(q_, kv, dout).astype(jnp.bfloat16), q, n
+                )
+            else:
+                cu_j = jnp.asarray(cu, jnp.int32)
 
-        grad = jax.jit(jax.grad(loss))
+                # kv/cu/dout ride as jit ARGS, never closures: closed-over
+                # device arrays become jit constants whose lowering fetches
+                # them back through this harness's tunnel at ~minutes/MB
+                fwd_j = jax.jit(
+                    lambda q_, kv_, cu_: flash_attn_varlen_kvpacked_func(
+                        q_, kv_, cu_, causal=True).astype(jnp.bfloat16))
 
-        t_f = timed(lambda q_: fwd_j(q_, kv, cu_j), q, n)
-        # one grad call = custom_vjp fwd + bwd (same convention as bench.py)
-        t_fb = timed(lambda q_: grad(q_, kv, cu_j, dout).astype(jnp.bfloat16),
-                     q, n)
-        pf = flops_fwd / t_f / PEAK * 100
-        pfb = flops_fwd * 3.5 / (t_fb) / PEAK * 100
-        results.append((cu, 1 / t_f, pf, 1 / t_fb, pfb))
-        print(f"  cu={str(cu):42s} fwd {t_f*1e3:6.2f} ms ({pf:4.1f}% peak, "
-              f"{1/t_f:6.1f} it/s) | fwd+bwd {t_fb*1e3:6.2f} ms "
-              f"({pfb:4.1f}% peak, {1/t_fb:5.1f} it/s)")
+                def loss(q_, kv_, cu_, dout_):
+                    return jnp.sum(
+                        flash_attn_varlen_kvpacked_func(
+                            q_, kv_, cu_, causal=True)
+                        .astype(jnp.float32) * dout_.astype(jnp.float32)
+                    )
+
+                grad = jax.jit(jax.grad(loss))
+                t_f = timed(lambda q_: fwd_j(q_, kv, cu_j), q, n)
+                # one grad call = custom_vjp fwd + bwd (bench.py convention)
+                t_fb = timed(
+                    lambda q_: grad(q_, kv, cu_j, dout).astype(jnp.bfloat16),
+                    q, n,
+                )
+            pf = flops_fwd / t_f / PEAK * 100
+            pfb = flops_fwd * 3.5 / (t_fb) / PEAK * 100
+            tag = "static" if static else "traced"
+            if static:
+                results.append((cu, 1 / t_f, pf, 1 / t_fb, pfb))
+            print(f"  cu={str(cu):36s} [{tag}] fwd {t_f*1e3:6.2f} ms "
+                  f"({pf:4.1f}% peak, {1/t_f:6.1f} it/s) | fwd+bwd "
+                  f"{t_fb*1e3:6.2f} ms ({pfb:4.1f}% peak, "
+                  f"{1/t_fb:5.1f} it/s)")
     mean_pf = float(np.mean([r[2] for r in results]))
     mean_pfb = float(np.mean([r[4] for r in results]))
-    print(f"  mean: fwd {mean_pf:.1f}% of peak, fwd+bwd {mean_pfb:.1f}% "
-          "of peak")
+    print(f"  mean (static): fwd {mean_pf:.1f}% of peak, fwd+bwd "
+          f"{mean_pfb:.1f}% of peak")
     return results
 
 
