@@ -11,6 +11,12 @@ Reports per-step time and % of that roofline for
 These are serving extensions over the reference (it has no decode path);
 the configs mirror the README claims being re-measured.
 
+Timing is on-device via profiler traces (utils/trace_timing): decode steps
+are ~100 us, far below this harness's ~200 us per-call dispatch latency,
+so any host-side method (including the slope harness) measures dispatch,
+not the kernel. The slope number is printed alongside as "wall" for
+transparency.
+
 Run: PYTHONPATH=/root/.axon_site:/root/repo python -u benchmark/benchmark_decode.py
 """
 
@@ -23,6 +29,7 @@ import jax
 import jax.numpy as jnp
 
 from ring_flash_attn_tpu.utils.timing import timed
+from ring_flash_attn_tpu.utils.trace_timing import trace_device_time
 
 HBM_BW = 819e9  # v5e HBM bytes/s
 D = 128
@@ -30,10 +37,11 @@ HQ, HKV = 32, 8
 SCALE = D**-0.5
 
 
-def report(name, dt, cache_bytes):
+def report(name, dt, cache_bytes, wall_dt=None):
     roof = cache_bytes / HBM_BW
+    wall = f"  [wall {wall_dt*1e6:.0f} us: dispatch-bound]" if wall_dt else ""
     print(f"{name:36s} {dt*1e6:8.1f} us/step  (roofline {roof*1e6:6.1f} us, "
-          f"{roof/dt*100:5.1f}% of HBM speed-of-light)")
+          f"{roof/dt*100:5.1f}% of HBM speed-of-light){wall}")
 
 
 def bench_quant_decode():
@@ -55,9 +63,10 @@ def bench_quant_decode():
         o, _ = quant_decode_attention(q_, cache_, S, SCALE)
         return o.astype(jnp.bfloat16)
 
-    dt = timed(lambda q_: step(q_, cache), q, n=50, n0=5)
+    wall = timed(lambda q_: step(q_, cache), q, n=50, n0=5)
+    dt, _ = trace_device_time(lambda q_: step(q_, cache), q)
     nbytes = sum(x.size * x.dtype.itemsize for x in cache)
-    report(f"quant int8 decode B={B} ctx={S}", dt, nbytes)
+    report(f"quant int8 decode B={B} ctx={S}", dt, nbytes, wall)
     return dt
 
 
@@ -89,7 +98,8 @@ def bench_paged(quant):
         o, _ = decode(q_, cache_, SCALE)
         return o.astype(jnp.bfloat16)
 
-    dt = timed(lambda q_: step(q_, cache), q, n=50, n0=5)
+    wall = timed(lambda q_: step(q_, cache), q, n=50, n0=5)
+    dt, _ = trace_device_time(lambda q_: step(q_, cache), q)
     # bytes the step must read: every valid page of k and v (+ scales)
     kind = "int8" if quant else "bf16"
     nbytes = sum(
@@ -101,7 +111,8 @@ def bench_paged(quant):
             x.size * x.dtype.itemsize
             for x in (cache.k_scales, cache.v_scales)
         )
-    report(f"paged {kind} decode B={B} ctx={ctx} pg={page}", dt, nbytes)
+    report(f"paged {kind} decode B={B} ctx={ctx} pg={page}", dt, nbytes,
+           wall)
     return dt
 
 

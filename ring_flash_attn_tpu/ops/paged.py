@@ -28,10 +28,12 @@ oracle; the Pallas kernel is the production path. Unwritten page slots may
 hold garbage — reads mask by seq_lens, and block_tables must point at
 valid (allocatable) page ids everywhere (pad with any real page id).
 
-Measured on v5e (B=4, 32q/8kv heads, D=128, page_size 512-1024, shuffled
-tables): ~1.0 ms/decode step at 8k-token contexts — per-grid-step fixed
-cost dominates at decode's tiny arithmetic intensity; page size 512 and
-1024 are equivalent, 2048 needs the raised vmem budget below.
+Measured on v5e (B=4, 32q/8kv heads, D=128, page_size 256, 8k contexts,
+on-device trace timing): bf16 pages 185.6 us/step = 88% of the HBM
+roofline; int8 pages 125.6 us = 67%. The kernel streams F pages per grid
+step, folds all KV heads into one grid step, and computes each page as a
+single block-diagonal all-heads matmul (static head-match mask) — see
+docs/DESIGN.md §7c for the progression from the r2 kernel's ~1 ms.
 """
 
 import functools
@@ -229,83 +231,94 @@ def _paged_kernel(
     *refs,  # q, k_0..k_{F-1}, v_0..v_{F-1}, out, lse, m_s, l_s, acc_s
     softcap,
     hkv,
+    rows,
     page_size,
     npages,
     fanout,
 ):
     it = iter(refs)
-    q_ref = next(it)  # (1, Hkv, rows, D) f32 pre-scaled
-    k_refs = [next(it) for _ in range(fanout)]  # (1, Hkv, ps, D) each
+    q_ref = next(it)  # (1, Hkv*rows, D) f32 pre-scaled
+    k_refs = [next(it) for _ in range(fanout)]  # (1, Hkv*ps, D) each
     v_refs = [next(it) for _ in range(fanout)]
-    out_ref = next(it)  # (1, Hkv, rows, D) f32
-    lse_ref = next(it)  # (1, Hkv, rows, 1) f32
-    m_s = next(it)  # (Hkv, rows, 128) f32
-    l_s = next(it)  # (Hkv, rows, 128) f32
-    acc_s = next(it)  # (Hkv, rows, D) f32
+    out_ref = next(it)  # (1, Hkv*rows, D) f32
+    lse_ref = next(it)  # (1, Hkv*rows, 1) f32
+    m_s = next(it)  # (Hkv*rows, 128) f32
+    l_s = next(it)  # (Hkv*rows, 128) f32
+    acc_s = next(it)  # (Hkv*rows, D) f32
 
     b_id = pl.program_id(0)
     i = pl.program_id(1)
     seq_len = len_ref[b_id]
     valid_pages = jnp.maximum((seq_len + page_size - 1) // page_size, 1)
+    nrows = hkv * rows
 
     @pl.when(i == 0)
     def _():
-        m_s[:, :, :1] = jnp.full(m_s[:, :, :1].shape, NEG_INF, jnp.float32)
-        l_s[:, :, :1] = jnp.zeros(l_s[:, :, :1].shape, jnp.float32)
+        m_s[:, :1] = jnp.full((nrows, 1), NEG_INF, jnp.float32)
+        l_s[:, :1] = jnp.zeros((nrows, 1), jnp.float32)
         acc_s[...] = jnp.zeros_like(acc_s)
 
     # One grid step streams `fanout` pages (F independent DMAs in flight),
-    # amortizing the per-grid-step fixed cost that dominated the r2 kernel
-    # (one page per step -> ~1ms for a decode whose dense read is ~330us;
-    # VERDICT r2 weak #3). Pages past the valid range revisit the last
-    # valid page (no DMA) and skip compute.
+    # amortizing the per-grid-step fixed cost that dominated the r2 kernel.
+    # Each page is ONE block-diagonal matmul over ALL kv heads: logits are
+    # (Hkv*rows, Hkv*ps) with a static head-match mask killing cross-head
+    # products — the MXU eats the 8x redundant FLOPs for free while the
+    # VPU softmax chain runs 1 wide op instead of Hkv tiny (rows, ps) ones
+    # (which left the r3 int8 paged kernel at 26% of the HBM roofline; the
+    # per-op issue overhead, not bandwidth, dominated). Pages past the
+    # valid range revisit the last valid page (no DMA) and skip compute.
+    row_head = jax.lax.broadcasted_iota(
+        jnp.int32, (nrows, 1), 0
+    ) // rows
+    col_head = jax.lax.broadcasted_iota(
+        jnp.int32, (1, hkv * page_size), 1
+    ) // page_size
+    head_match = row_head == col_head
+    col_pos = jax.lax.broadcasted_iota(
+        jnp.int32, (1, hkv * page_size), 1
+    ) % page_size
+
     for f in range(fanout):
         page = i * fanout + f
 
         @pl.when(page < valid_pages)
         def _compute(f=f, page=page):
-            pos = page * page_size + jax.lax.broadcasted_iota(
-                jnp.int32, (1, page_size), 1
+            s = jax.lax.dot_general(
+                q_ref[0].astype(jnp.bfloat16),
+                k_refs[f][0].astype(jnp.bfloat16),
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )  # (Hkv*rows, Hkv*ps), natural units (scale folded into q)
+            if softcap:
+                s = softcap * jnp.tanh(s * (1.0 / softcap))
+            live = head_match & (page * page_size + col_pos < seq_len)
+            s = jnp.where(live, s, NEG_INF)
+            m_prev = m_s[:, :1]
+            m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
+            alpha = jnp.exp(m_prev - m_new)
+            p = jnp.exp(s - m_new)
+            l_s[:, :1] = l_s[:, :1] * alpha + jnp.sum(
+                p, axis=1, keepdims=True
             )
-            live = pos < seq_len
-            for h in range(hkv):
-                kq = k_refs[f][0, h].astype(jnp.bfloat16)
-                s = jax.lax.dot_general(
-                    q_ref[0, h].astype(jnp.bfloat16), kq,
-                    dimension_numbers=(((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )  # (rows, page_size), natural units (scale folded into q)
-                if softcap:
-                    s = softcap * jnp.tanh(s * (1.0 / softcap))
-                s = jnp.where(live, s, NEG_INF)
-                m_prev = m_s[h, :, :1]
-                m_new = jnp.maximum(
-                    m_prev, jnp.max(s, axis=1, keepdims=True)
-                )
-                alpha = jnp.exp(m_prev - m_new)
-                p = jnp.exp(s - m_new)
-                l_s[h, :, :1] = (
-                    l_s[h, :, :1] * alpha
-                    + jnp.sum(p, axis=1, keepdims=True)
-                )
-                acc_s[h] = acc_s[h] * alpha + jax.lax.dot_general(
-                    p.astype(jnp.bfloat16),
-                    v_refs[f][0, h].astype(jnp.bfloat16),
-                    dimension_numbers=(((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )
-                m_s[h, :, :1] = m_new
+            # masked rows of p are exactly 0, so the flat PV matmul only
+            # accumulates each row's own head's page slice
+            acc_s[...] = acc_s[...] * alpha + jax.lax.dot_general(
+                p.astype(jnp.bfloat16),
+                v_refs[f][0].astype(jnp.bfloat16),
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            m_s[:, :1] = m_new
 
     @pl.when(i == pl.num_programs(1) - 1)
     def _flush():
-        for h in range(hkv):
-            l = l_s[h, :, :1]
-            dead = jnp.logical_or(l == 0.0, m_s[h, :, :1] <= NEG_INF / 2)
-            l_safe = jnp.where(l == 0.0, 1.0, l)
-            out_ref[0, h] = jnp.where(dead, 0.0, acc_s[h] / l_safe)
-            lse_ref[0, h] = jnp.where(
-                dead, NEG_INF, m_s[h, :, :1] + jnp.log(l_safe)
-            )
+        l = l_s[:, :1]
+        dead = jnp.logical_or(l == 0.0, m_s[:, :1] <= NEG_INF / 2)
+        l_safe = jnp.where(l == 0.0, 1.0, l)
+        out_ref[0] = jnp.where(dead, 0.0, acc_s[...] / l_safe)
+        lse_ref[0] = jnp.where(
+            dead, NEG_INF, m_s[:, :1] + jnp.log(l_safe)
+        )
 
 
 def _pallas_paged_decode(q, cache, scale, softcap, interpret=False,
@@ -323,12 +336,16 @@ def _pallas_paged_decode(q, cache, scale, softcap, interpret=False,
         pages_per_step -= 1
     f_n = pages_per_step
 
-    qf = (q.astype(jnp.float32) * scale).reshape(b, hkv, rows, d)
+    qf = (q.astype(jnp.float32) * scale).reshape(b, hkv * rows, d)
     bt = cache.block_tables.reshape(-1)
     lens = jnp.asarray(cache.seq_lens, jnp.int32)
+    # (P, hkv, ps, d) -> (P, hkv*ps, d) is a contiguous collapse (free
+    # bitcast); the kernel sees each page as one flat all-heads matrix
+    k_flat = cache.k_pages.reshape(num_pages, hkv * ps, d)
+    v_flat = cache.v_pages.reshape(num_pages, hkv * ps, d)
 
     def q_index(bi, i, bt_ref, len_ref):
-        return (bi, 0, 0, 0)
+        return (bi, 0, 0)
 
     # one (step, f) fetch = one page with ALL its KV heads (a single
     # contiguous DMA — the page-major pool layout exists for this). Pages
@@ -339,12 +356,12 @@ def _pallas_paged_decode(q, cache, scale, softcap, interpret=False,
             seq_len = len_ref[bi]
             valid = jnp.maximum((seq_len + ps - 1) // ps, 1)
             ii = jnp.minimum(i * f_n + f, valid - 1)
-            return (bt_ref[bi * npages + ii], 0, 0, 0)
+            return (bt_ref[bi * npages + ii], 0, 0)
 
         return idx
 
     kv_specs = [
-        pl.BlockSpec((1, hkv, ps, d), page_index(f),
+        pl.BlockSpec((1, hkv * ps, d), page_index(f),
                      memory_space=pltpu.VMEM)
         for f in range(f_n)
     ]
@@ -353,33 +370,33 @@ def _pallas_paged_decode(q, cache, scale, softcap, interpret=False,
         num_scalar_prefetch=2,
         grid=(b, npages // f_n),
         in_specs=[
-            pl.BlockSpec((1, hkv, rows, d), q_index,
+            pl.BlockSpec((1, hkv * rows, d), q_index,
                          memory_space=pltpu.VMEM),
             *kv_specs,
             *kv_specs,
         ],
         out_specs=[
-            pl.BlockSpec((1, hkv, rows, d), q_index,
+            pl.BlockSpec((1, hkv * rows, d), q_index,
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, hkv, rows, 1), q_index,
+            pl.BlockSpec((1, hkv * rows, 1), q_index,
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
-            pltpu.VMEM((hkv, rows, 128), jnp.float32),
-            pltpu.VMEM((hkv, rows, 128), jnp.float32),
-            pltpu.VMEM((hkv, rows, d), jnp.float32),
+            pltpu.VMEM((hkv * rows, 128), jnp.float32),
+            pltpu.VMEM((hkv * rows, 128), jnp.float32),
+            pltpu.VMEM((hkv * rows, d), jnp.float32),
         ],
     )
 
     out, lse = pl.pallas_call(
         functools.partial(
-            _paged_kernel, softcap=softcap, hkv=hkv, page_size=ps,
-            npages=npages, fanout=f_n,
+            _paged_kernel, softcap=softcap, hkv=hkv, rows=rows,
+            page_size=ps, npages=npages, fanout=f_n,
         ),
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((b, hkv, rows, d), jnp.float32),
-            jax.ShapeDtypeStruct((b, hkv, rows, 1), jnp.float32),
+            jax.ShapeDtypeStruct((b, hkv * rows, d), jnp.float32),
+            jax.ShapeDtypeStruct((b, hkv * rows, 1), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
@@ -387,7 +404,7 @@ def _pallas_paged_decode(q, cache, scale, softcap, interpret=False,
             vmem_limit_bytes=96 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(bt, lens, qf, *([cache.k_pages] * f_n), *([cache.v_pages] * f_n))
+    )(bt, lens, qf, *([k_flat] * f_n), *([v_flat] * f_n))
     return (
         out.reshape(b, hq, tq, d),
         lse.reshape(b, hq, tq),
@@ -562,14 +579,15 @@ def _quant_paged_kernel(
     *refs,  # q, k_0.., ks_0.., v_0.., vs_0.., out, lse, m_s, l_s, acc_s
     softcap,
     hkv,
+    rows,
     page_size,
     npages,
     fanout,
 ):
     it = iter(refs)
-    q_ref = next(it)  # (1, Hkv, rows, D) f32 pre-scaled
-    k_refs = [next(it) for _ in range(fanout)]  # quantized pages
-    ks_refs = [next(it) for _ in range(fanout)]  # (1, Hkv, 1, ps) f32
+    q_ref = next(it)  # (1, Hkv*rows, D) f32 pre-scaled
+    k_refs = [next(it) for _ in range(fanout)]  # (1, Hkv*ps, D) quantized
+    ks_refs = [next(it) for _ in range(fanout)]  # (1, 1, Hkv*ps) f32
     v_refs = [next(it) for _ in range(fanout)]
     vs_refs = [next(it) for _ in range(fanout)]
     out_ref = next(it)
@@ -582,63 +600,68 @@ def _quant_paged_kernel(
     i = pl.program_id(1)
     seq_len = len_ref[b_id]
     valid_pages = jnp.maximum((seq_len + page_size - 1) // page_size, 1)
+    nrows = hkv * rows
 
     @pl.when(i == 0)
     def _():
-        m_s[:, :, :1] = jnp.full(m_s[:, :, :1].shape, NEG_INF, jnp.float32)
-        l_s[:, :, :1] = jnp.zeros(l_s[:, :, :1].shape, jnp.float32)
+        m_s[:, :1] = jnp.full((nrows, 1), NEG_INF, jnp.float32)
+        l_s[:, :1] = jnp.zeros((nrows, 1), jnp.float32)
         acc_s[...] = jnp.zeros_like(acc_s)
 
-    # F pages per grid step — see _paged_kernel for the rationale.
+    # F pages per grid step, each page ONE block-diagonal all-heads matmul
+    # — see _paged_kernel for the rationale. Per-token k scales fold into
+    # the (nrows, Hkv*ps) logits columns; v scales into the PV operand.
+    row_head = jax.lax.broadcasted_iota(
+        jnp.int32, (nrows, 1), 0
+    ) // rows
+    col_head = jax.lax.broadcasted_iota(
+        jnp.int32, (1, hkv * page_size), 1
+    ) // page_size
+    head_match = row_head == col_head
+    col_pos = jax.lax.broadcasted_iota(
+        jnp.int32, (1, hkv * page_size), 1
+    ) % page_size
+
     for f in range(fanout):
         page = i * fanout + f
 
         @pl.when(page < valid_pages)
         def _compute(f=f, page=page):
-            pos = page * page_size + jax.lax.broadcasted_iota(
-                jnp.int32, (1, page_size), 1
+            # int8/fp8 cast to bf16 feeds the MXU at full rate
+            s = jax.lax.dot_general(
+                q_ref[0].astype(jnp.bfloat16),
+                k_refs[f][0].astype(jnp.bfloat16),
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            ) * ks_refs[f][0]  # (nrows, Hkv*ps)
+            if softcap:
+                s = softcap * jnp.tanh(s * (1.0 / softcap))
+            live = head_match & (page * page_size + col_pos < seq_len)
+            s = jnp.where(live, s, NEG_INF)
+            m_prev = m_s[:, :1]
+            m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
+            alpha = jnp.exp(m_prev - m_new)
+            p = jnp.exp(s - m_new)
+            l_s[:, :1] = l_s[:, :1] * alpha + jnp.sum(
+                p, axis=1, keepdims=True
             )
-            live = pos < seq_len
-            for h in range(hkv):
-                # int8/fp8 cast to bf16 feeds the MXU at full rate;
-                # per-token scales fold into the (rows, page) logits
-                s = jax.lax.dot_general(
-                    q_ref[0, h].astype(jnp.bfloat16),
-                    k_refs[f][0, h].astype(jnp.bfloat16),
-                    dimension_numbers=(((1,), (1,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                ) * ks_refs[f][0, h]
-                if softcap:
-                    s = softcap * jnp.tanh(s * (1.0 / softcap))
-                s = jnp.where(live, s, NEG_INF)
-                m_prev = m_s[h, :, :1]
-                m_new = jnp.maximum(
-                    m_prev, jnp.max(s, axis=1, keepdims=True)
-                )
-                alpha = jnp.exp(m_prev - m_new)
-                p = jnp.exp(s - m_new)
-                l_s[h, :, :1] = (
-                    l_s[h, :, :1] * alpha
-                    + jnp.sum(p, axis=1, keepdims=True)
-                )
-                pv = (p * vs_refs[f][0, h]).astype(jnp.bfloat16)
-                acc_s[h] = acc_s[h] * alpha + jax.lax.dot_general(
-                    pv, v_refs[f][0, h].astype(jnp.bfloat16),
-                    dimension_numbers=(((1,), (0,)), ((), ())),
-                    preferred_element_type=jnp.float32,
-                )
-                m_s[h, :, :1] = m_new
+            pv = (p * vs_refs[f][0]).astype(jnp.bfloat16)
+            acc_s[...] = acc_s[...] * alpha + jax.lax.dot_general(
+                pv, v_refs[f][0].astype(jnp.bfloat16),
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32,
+            )
+            m_s[:, :1] = m_new
 
     @pl.when(i == pl.num_programs(1) - 1)
     def _flush():
-        for h in range(hkv):
-            l = l_s[h, :, :1]
-            dead = jnp.logical_or(l == 0.0, m_s[h, :, :1] <= NEG_INF / 2)
-            l_safe = jnp.where(l == 0.0, 1.0, l)
-            out_ref[0, h] = jnp.where(dead, 0.0, acc_s[h] / l_safe)
-            lse_ref[0, h] = jnp.where(
-                dead, NEG_INF, m_s[h, :, :1] + jnp.log(l_safe)
-            )
+        l = l_s[:, :1]
+        dead = jnp.logical_or(l == 0.0, m_s[:, :1] <= NEG_INF / 2)
+        l_safe = jnp.where(l == 0.0, 1.0, l)
+        out_ref[0] = jnp.where(dead, 0.0, acc_s[...] / l_safe)
+        lse_ref[0] = jnp.where(
+            dead, NEG_INF, m_s[:, :1] + jnp.log(l_safe)
+        )
 
 
 def _pallas_quant_paged_decode(q, cache, scale, softcap, interpret=False,
@@ -654,19 +677,26 @@ def _pallas_quant_paged_decode(q, cache, scale, softcap, interpret=False,
         pages_per_step -= 1
     f_n = pages_per_step
 
-    qf = (q.astype(jnp.float32) * scale).reshape(b, hkv, rows, d)
+    qf = (q.astype(jnp.float32) * scale).reshape(b, hkv * rows, d)
     bt = cache.block_tables.reshape(-1)
     lens = jnp.asarray(cache.seq_lens, jnp.int32)
+    # contiguous collapses: pages (P, hkv, ps, d) -> (P, hkv*ps, d) is a
+    # free bitcast; scales (P, hkv, 1, ps) -> (P, 1, hkv*ps) keeps linear
+    # order (XLA pays one small relayout for the padded middle dim)
+    k_flat = cache.k_pages.reshape(num_pages, hkv * ps, d)
+    v_flat = cache.v_pages.reshape(num_pages, hkv * ps, d)
+    ks_flat = cache.k_scales.reshape(num_pages, 1, hkv * ps)
+    vs_flat = cache.v_scales.reshape(num_pages, 1, hkv * ps)
 
     def q_index(bi, i, bt_ref, len_ref):
-        return (bi, 0, 0, 0)
+        return (bi, 0, 0)
 
     def page_index(f):
         def idx(bi, i, bt_ref, len_ref):
             seq_len = len_ref[bi]
             valid = jnp.maximum((seq_len + ps - 1) // ps, 1)
             ii = jnp.minimum(i * f_n + f, valid - 1)
-            return (bt_ref[bi * npages + ii], 0, 0, 0)
+            return (bt_ref[bi * npages + ii], 0, 0)
 
         return idx
 
@@ -680,40 +710,40 @@ def _pallas_quant_paged_decode(q, cache, scale, softcap, interpret=False,
         num_scalar_prefetch=2,
         grid=(b, npages // f_n),
         in_specs=[
-            pl.BlockSpec((1, hkv, rows, d), q_index,
+            pl.BlockSpec((1, hkv * rows, d), q_index,
                          memory_space=pltpu.VMEM),
-            *kv_specs((1, hkv, ps, d)),
-            *kv_specs((1, hkv, 1, ps)),
-            *kv_specs((1, hkv, ps, d)),
-            *kv_specs((1, hkv, 1, ps)),
+            *kv_specs((1, hkv * ps, d)),
+            *kv_specs((1, 1, hkv * ps)),
+            *kv_specs((1, hkv * ps, d)),
+            *kv_specs((1, 1, hkv * ps)),
         ],
         out_specs=[
-            pl.BlockSpec((1, hkv, rows, d), q_index,
+            pl.BlockSpec((1, hkv * rows, d), q_index,
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, hkv, rows, 1), q_index,
+            pl.BlockSpec((1, hkv * rows, 1), q_index,
                          memory_space=pltpu.VMEM),
         ],
         scratch_shapes=[
-            pltpu.VMEM((hkv, rows, 128), jnp.float32),
-            pltpu.VMEM((hkv, rows, 128), jnp.float32),
-            pltpu.VMEM((hkv, rows, d), jnp.float32),
+            pltpu.VMEM((hkv * rows, 128), jnp.float32),
+            pltpu.VMEM((hkv * rows, 128), jnp.float32),
+            pltpu.VMEM((hkv * rows, d), jnp.float32),
         ],
     )
     out, lse = pl.pallas_call(
         functools.partial(
-            _quant_paged_kernel, softcap=softcap, hkv=hkv, page_size=ps,
-            npages=npages, fanout=f_n,
+            _quant_paged_kernel, softcap=softcap, hkv=hkv, rows=rows,
+            page_size=ps, npages=npages, fanout=f_n,
         ),
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((b, hkv, rows, d), jnp.float32),
-            jax.ShapeDtypeStruct((b, hkv, rows, 1), jnp.float32),
+            jax.ShapeDtypeStruct((b, hkv * rows, d), jnp.float32),
+            jax.ShapeDtypeStruct((b, hkv * rows, 1), jnp.float32),
         ],
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "arbitrary"),
             vmem_limit_bytes=96 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(bt, lens, qf, *([cache.k_pages] * f_n), *([cache.k_scales] * f_n),
-      *([cache.v_pages] * f_n), *([cache.v_scales] * f_n))
+    )(bt, lens, qf, *([k_flat] * f_n), *([ks_flat] * f_n),
+      *([v_flat] * f_n), *([vs_flat] * f_n))
     return out.reshape(b, hq, tq, d), lse.reshape(b, hq, tq)

@@ -108,10 +108,13 @@ def pallas_quant_decode(q, cache, length, scale, softcap=None, blk=None,
     g = hq // hkv
     rows = g * tq
     if blk is None:
-        # widest lane-aligned block <= 4096 dividing s: fewer, larger
-        # grid steps (the per-step fixed cost dominated at 1024)
+        # widest lane-aligned block <= 2048 dividing s: wide enough to
+        # amortize the per-step fixed cost that dominated at <=1024, small
+        # enough to keep the DMA/compute pipeline deep (device-trace sweep
+        # on a 32k cache: 99.4 us at 2048 vs 101.9/106.7 at 4096/8192 —
+        # 85% of the HBM roofline; tools/exp_decode_trace.py)
         blk = max(
-            c for c in range(128, min(4 * DEFAULT_BLOCK, s) + 1, 128)
+            c for c in range(128, min(2 * DEFAULT_BLOCK, s) + 1, 128)
             if s % c == 0
         )
     assert s % blk == 0 and blk % 128 == 0, (s, blk)

@@ -21,79 +21,19 @@ Writes PROBE_r03.log-worthy lines to stdout; run with
   PYTHONPATH=/root/.axon_site:/root/repo python -u tools/probe_ring_trace.py
 """
 
-import glob
-import os
 import shutil
-import sys
 import tempfile
-from collections import defaultdict
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 
+from ring_flash_attn_tpu.utils.trace_timing import parse_device_time
+
 B, HQ, HKV, S, D = 1, 32, 8, 8192, 128
 SCALE = D**-0.5
 N_ITERS = 6  # traced iterations per variant
 PEAK = 197e12
-
-
-def parse_device_time(logdir):
-    """Sum on-device event durations from the xplane protos under logdir.
-
-    Returns (compute_seconds, copy_seconds, {op_name: seconds}) over all TPU
-    device planes' "XLA Ops" (fallback: all) lines. Host planes are ignored.
-
-    copy-start/copy-done ops are split out of the compute sum: on this
-    harness they are the tunnel re-staging jit arguments per call (a
-    bf16 64MB operand shows ~4.3 ms ≈ 15 GB/s — PCIe/tunnel rate, not the
-    819 GB/s HBM), i.e. a harness artifact that a normal TPU host never
-    pays in steady state. They are reported separately, never silently
-    dropped.
-    """
-    from tensorflow.tsl.profiler.protobuf import xplane_pb2
-
-    paths = glob.glob(
-        os.path.join(logdir, "**", "*.xplane.pb"), recursive=True
-    )
-    if not paths:
-        raise RuntimeError(f"no xplane.pb under {logdir}")
-    compute_ps = 0
-    copy_ps = 0
-    by_op = defaultdict(int)
-    for path in paths:
-        space = xplane_pb2.XSpace()
-        with open(path, "rb") as f:
-            space.ParseFromString(f.read())
-        for plane in space.planes:
-            name = plane.name
-            is_device = ("TPU" in name or "/device:" in name) and (
-                "Host" not in name
-            )
-            if not is_device:
-                continue
-            metadata = plane.event_metadata
-            for line in plane.lines:
-                # XLA Ops / XLA Modules / Steps lines exist; "XLA Ops" is
-                # the per-kernel one. Sum only one line kind to avoid
-                # double-counting nested rollups.
-                if line.name and "Ops" not in line.name:
-                    continue
-                for ev in line.events:
-                    md = metadata.get(ev.metadata_id)
-                    op = md.name if md is not None else "?"
-                    if op.startswith("%copy-start") or op.startswith(
-                        "%copy-done"
-                    ):
-                        copy_ps += ev.duration_ps
-                    else:
-                        compute_ps += ev.duration_ps
-                    by_op[op] += ev.duration_ps
-    return (
-        compute_ps * 1e-12,
-        copy_ps * 1e-12,
-        {k: v * 1e-12 for k, v in by_op.items()},
-    )
 
 
 def traced(tag, fn, feedback):
