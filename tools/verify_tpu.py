@@ -319,6 +319,20 @@ def main():
                  q_segids=jnp.asarray(segs), kv_segids=jnp.asarray(ksegs)),
         **shape,
     )
+    # numpy (host) metadata triggers the COMPACT pair grid (only needed
+    # macro pairs enumerated; init/flush from block_meta rows 4/5) — a
+    # distinct Mosaic program from the traced-metadata cases above
+    check_case(
+        "causal-segments[compact]",
+        MaskArgs(causal=True, q_segids=segs, kv_segids=ksegs),
+        **shape,
+    )
+    check_case(
+        "positions[compact]",
+        MaskArgs(causal=True, q_pos=pos, kv_pos=pos,
+                 q_segids=segs, kv_segids=ksegs, packed_self=True),
+        **shape,
+    )
     check_case(
         "window", MaskArgs(causal=True, window_left=1500), **shape
     )
