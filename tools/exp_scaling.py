@@ -1,0 +1,57 @@
+"""Context-length scaling of the causal flash kernels (single chip).
+
+Replaces the round-2 wall-clock 32k datum with slope-harness numbers:
+fwd and fwd+bwd at S = 8k / 16k / 32k, reference head config (32q/8kv,
+D=128, causal bf16, B=1). %-of-peak uses the causal triangle FLOPs.
+
+Run alone (no concurrent chip jobs):
+  PYTHONPATH=/root/.axon_site:/root/repo python -u tools/exp_scaling.py
+"""
+
+import jax
+import jax.numpy as jnp
+
+from ring_flash_attn_tpu.ops.flash import flash_attention
+from ring_flash_attn_tpu.ops.mask import MaskArgs
+from ring_flash_attn_tpu.utils.timing import timed
+
+B, HQ, HKV, D = 1, 32, 8, 128
+PEAK = 197e12
+SCALE = D**-0.5
+
+
+def run(s):
+    q = jax.random.normal(jax.random.PRNGKey(0), (B, HQ, s, D), jnp.bfloat16)
+    k = jax.random.normal(jax.random.PRNGKey(1), (B, HKV, s, D), jnp.bfloat16)
+    v = jax.random.normal(jax.random.PRNGKey(2), (B, HKV, s, D), jnp.bfloat16)
+    dout = jax.random.normal(jax.random.PRNGKey(3), (B, HQ, s, D),
+                             jnp.bfloat16)
+    mask = MaskArgs(causal=True)
+
+    fwd_j = jax.jit(lambda q_, k_, v_: flash_attention(
+        q_, k_, v_, SCALE, mask)[0].astype(jnp.bfloat16))
+
+    def loss(q_, k_, v_, dout_):
+        o, _ = flash_attention(q_, k_, v_, SCALE, mask)
+        return jnp.sum(o.astype(jnp.float32) * dout_.astype(jnp.float32))
+
+    grad = jax.jit(jax.grad(loss, (0, 1, 2)))
+
+    n = max(4, int(120e-3 * 8192 / s))  # keep each chain ~fixed wall time
+    f_fwd = 4 * s * s * HQ * D * 0.5
+    f_fb = f_fwd * 3.5
+    dt_f = timed(lambda q_: fwd_j(q_, k, v), q, n=4 * n)
+    dt_b = timed(lambda q_: grad(q_, k, v, dout)[0].astype(jnp.bfloat16),
+                 q, n=n)
+    print(f"S={s:6d}  fwd {dt_f*1e3:7.2f} ms ({f_fwd/dt_f/PEAK*100:5.1f}% "
+          f"peak)   fwd+bwd {dt_b*1e3:7.2f} ms "
+          f"({f_fb/dt_b/PEAK*100:5.1f}% peak)")
+
+
+def main():
+    for s in (8192, 16384, 32768):
+        run(s)
+
+
+if __name__ == "__main__":
+    main()
