@@ -7,6 +7,7 @@ from .transformer import (
     param_specs,
     prepare_zigzag_batch,
 )
+from .serve import ServingEngine
 
 __all__ = [
     "ModelConfig",
@@ -16,4 +17,5 @@ __all__ = [
     "train_step",
     "param_specs",
     "prepare_zigzag_batch",
+    "ServingEngine",
 ]
