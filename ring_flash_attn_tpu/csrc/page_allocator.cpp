@@ -157,6 +157,35 @@ int32_t pa_fork_seq(void* h, int32_t sid) {
   return nid;
 }
 
+// Eagerly copy-on-write the sequence's tail page if it is shared. Length
+// is unchanged. Fills cow_src/cow_dst like pa_append_token; both -1 when
+// nothing needed (unshared, empty, or page-aligned-full tails all count
+// as "nothing needed" only if unshared — a shared FULL tail is left
+// alone too, since future appends open a fresh page and never write it).
+// Needed at FORK time whenever the tail is partially filled: slots past
+// the already-written prefix (e.g. a committed-but-not-yet-appended
+// decode token) would otherwise be written by both branches into the
+// same physical page. Returns 0, or -1 on dead/invalid sequence or OOM.
+int32_t pa_cow_tail(void* h, int32_t sid, int32_t* cow_src,
+                    int32_t* cow_dst) {
+  auto* a = static_cast<Allocator*>(h);
+  *cow_src = -1;
+  *cow_dst = -1;
+  if (sid < 0 || sid >= static_cast<int32_t>(a->seqs.size())) return -1;
+  Sequence& s = a->seqs[sid];
+  if (!s.live) return -1;
+  if (s.pages.empty() || s.length % a->page_size == 0) return 0;
+  int32_t tail = s.pages.back();
+  if (a->refcount[tail] <= 1) return 0;
+  int32_t p;
+  if (!pop_page(a, &p)) return -1;
+  a->refcount[tail]--;
+  s.pages.back() = p;
+  *cow_src = tail;
+  *cow_dst = p;
+  return 0;
+}
+
 int32_t pa_free_seq(void* h, int32_t sid) {
   auto* a = static_cast<Allocator*>(h);
   if (sid < 0 || sid >= static_cast<int32_t>(a->seqs.size())) return -1;

@@ -158,6 +158,28 @@ class ServingEngine:
         self.outputs[req_id] = []
         self.sched.submit(req_id, len(prompt_tokens), max_new_tokens)
 
+    def fork(self, req_id, new_req_id, next_token=None,
+             max_new_tokens=None):
+        """Beam-search fork of a RUNNING request: the new request shares
+        the source's pages copy-on-write (device page copies surface in
+        the next step's plan) and continues decoding from `next_token`
+        (default: the source's own pending token — identical continuation
+        unless the sampler diverges). Takes a free lane immediately."""
+        assert req_id in self._pending, "can only fork a decoding request"
+        r = self.sched.fork(req_id, new_req_id,
+                            max_new_tokens=max_new_tokens)
+        self._prompts[new_req_id] = self._prompts[req_id]
+        # the source's last recorded token IS its pending (not-yet-decoded)
+        # one; a diverging fork replaces it with the alternative
+        out = list(self.outputs[req_id])
+        if next_token is not None:
+            out[-1] = int(next_token)
+            self._pending[new_req_id] = int(next_token)
+        else:
+            self._pending[new_req_id] = self._pending[req_id]
+        self.outputs[new_req_id] = out
+        return r
+
     def _sample(self, logits):
         return int(np.argmax(np.asarray(logits)))
 

@@ -61,6 +61,8 @@ def _build_and_load():
     lib.pa_append_token.argtypes = [p, i32, ip, ip]
     lib.pa_fork_seq.restype = i32
     lib.pa_fork_seq.argtypes = [p, i32]
+    lib.pa_cow_tail.restype = i32
+    lib.pa_cow_tail.argtypes = [p, i32, ip, ip]
     lib.pa_free_seq.restype = i32
     lib.pa_free_seq.argtypes = [p, i32]
     lib.pa_seq_len.restype = i64
@@ -138,6 +140,18 @@ class NativePageAllocator:
         if nid < 0:
             raise PageAllocatorError(f"fork failed for seq {sid}")
         return int(nid)
+
+    def cow_tail(self, sid):
+        """Eagerly COW a shared, partially-filled tail page (see
+        csrc/page_allocator.cpp): returns (src, dst) to copy on device,
+        or None if nothing was needed."""
+        src = ctypes.c_int32()
+        dst = ctypes.c_int32()
+        if self._lib.pa_cow_tail(
+            self._h, sid, ctypes.byref(src), ctypes.byref(dst)
+        ) != 0:
+            raise PageAllocatorError(f"cow_tail failed for seq {sid}")
+        return (int(src.value), int(dst.value)) if src.value >= 0 else None
 
     def free_seq(self, sid):
         if self._lib.pa_free_seq(self._h, sid) != 0:
@@ -237,6 +251,18 @@ class PyPageAllocator:
         for p in pages:
             self._ref[p] += 1
         return nid
+
+    def cow_tail(self, sid):
+        pages, length = self._get(sid)
+        if not pages or length % self.page_size == 0:
+            return None
+        tail = pages[-1]
+        if self._ref[tail] <= 1:
+            return None
+        page = self._pop_page()
+        self._ref[tail] -= 1
+        pages[-1] = page
+        return (tail, page)
 
     def free_seq(self, sid):
         self._get(sid)

@@ -101,6 +101,14 @@ class DecodeScheduler:
         )
         r.generated = src.generated
         r.seq = self.alloc.fork_seq(src.seq)
+        # Eagerly COW a partially-filled shared tail: slots past the
+        # device-written prefix (the committed-but-not-yet-appended decode
+        # token) are written by BOTH branches on their next decode step —
+        # lazy COW at the next allocator append would surface only after
+        # those device writes had already collided in the shared page.
+        cow = self.alloc.cow_tail(r.seq)
+        if cow is not None:
+            self._pending_cow.append(cow)
         r.lane = lane
         self.lanes[lane] = r
         self._requests[new_req_id] = r

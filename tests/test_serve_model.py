@@ -75,3 +75,31 @@ def test_submit_mid_flight(params):
     out = eng.run(max_steps=40)
     assert out[0] == _dense_greedy(params, p0, 5)
     assert out[1] == _dense_greedy(params, p1, 3)
+
+
+def test_fork_beam_divergence(params):
+    """COW fork at the model level: fork a mid-flight request with a
+    forced alternative token; the fork must continue exactly as a dense
+    run of (prompt ++ generated-so-far with the alternative), and the
+    source must be unaffected by the fork touching shared pages."""
+    rng = np.random.default_rng(11)
+    prompt = rng.integers(0, CFG.vocab, size=10).astype(np.int32)
+    eng = ServingEngine(params, CFG, num_pages=40, page_size=8,
+                        pages_per_seq=6, max_batch=3, reserve=1)
+    eng.submit(0, prompt, 6)
+    eng.step()   # prefill: first token sampled
+    eng.step()   # decode 1
+    eng.step()   # decode 2 -> outputs[0] has 3 tokens, last one pending
+    base = list(eng.outputs[0])
+    assert len(base) == 3
+    alt = int((base[-1] + 1) % CFG.vocab)  # force divergence
+    eng.fork(0, 1, next_token=alt, max_new_tokens=6)
+    out = eng.run(max_steps=40)
+
+    want_src = _dense_greedy(params, prompt, 6)
+    assert out[0] == want_src
+
+    # the fork replays: greedy from (prompt ++ first 2 tokens ++ alt)
+    forced = list(np.concatenate([prompt, base[:2], [alt]]))
+    want_fork = base[:2] + [alt] + _dense_greedy(params, forced, 3)
+    assert out[1] == want_fork, (out[1], want_fork)

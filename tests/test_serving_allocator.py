@@ -30,7 +30,7 @@ def test_native_matches_python_randomized():
     py, nat = PyPageAllocator(128, 8), NativePageAllocator(128, 8)
     live = []
     for _ in range(2000):
-        op = rng.integers(0, 4)
+        op = rng.integers(0, 5)
         if op == 0 or not live:  # alloc
             n = int(rng.integers(0, 40))
             try:
@@ -57,6 +57,15 @@ def test_native_matches_python_randomized():
             a, b = py.fork_seq(sid), nat.fork_seq(sid)
             assert a == b
             live.append(a)
+        elif op == 3:  # eager tail COW (fork-time protocol)
+            sid = int(rng.choice(live))
+            try:
+                a = py.cow_tail(sid)
+            except PageAllocatorError:  # OOM: both sides refuse, unchanged
+                with pytest.raises(PageAllocatorError):
+                    nat.cow_tail(sid)
+                continue
+            assert a == nat.cow_tail(sid)
         else:  # free
             sid = live.pop(int(rng.integers(0, len(live))))
             py.free_seq(sid)

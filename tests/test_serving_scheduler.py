@@ -162,8 +162,11 @@ def test_fork_shares_pages_and_cows():
     base_free = alloc.free_pages
     f = sched.fork(0, 100)
     assert f.lane != sched._requests[0].lane
-    assert alloc.free_pages == base_free          # fork allocates nothing
-    sched.commit(100)                              # COWs the shared tail
+    # the partially-filled tail is COWed EAGERLY at fork (one page), so
+    # the committed-but-not-yet-appended token's device write cannot
+    # collide in the shared page; full pages stay shared at no cost
+    assert alloc.free_pages == base_free - 1
+    sched.commit(100)                 # appends into the now-private tail
     assert alloc.free_pages == base_free - 1
     plan = sched.begin_step()
     assert len(plan.cow[0]) == 1                   # copy surfaced to driver
@@ -172,3 +175,25 @@ def test_fork_shares_pages_and_cows():
     t0 = alloc.block_table(sched._requests[0].seq)
     t1 = alloc.block_table(sched._requests[100].seq)
     assert t0[0] == t1[0] and t0[-1] != t1[-1]
+
+
+def test_fork_full_tail_stays_shared():
+    """A page-aligned fork shares everything: no eager COW (future appends
+    open fresh pages and never write shared slots)."""
+    alloc = PageAllocator(16, PS)
+    sched = DecodeScheduler(alloc, 4, max_batch=3)
+    sched.submit(0, 2 * PS, 10)
+    sched.begin_step()
+    base_free = alloc.free_pages
+    sched.fork(0, 100)
+    assert alloc.free_pages == base_free           # nothing copied
+    plan = sched.begin_step()
+    assert len(plan.cow[0]) == 0
+    # both next appends open private fresh pages
+    sched.commit(0)
+    sched.commit(100)
+    plan = sched.begin_step()
+    assert len(plan.cow[0]) == 0
+    t0 = alloc.block_table(sched._requests[0].seq)
+    t1 = alloc.block_table(sched._requests[100].seq)
+    assert t0[-1] != t1[-1] and list(t0[:-1]) == list(t1[:-1])
