@@ -159,13 +159,15 @@ int32_t pa_fork_seq(void* h, int32_t sid) {
 
 // Eagerly copy-on-write the sequence's tail page if it is shared. Length
 // is unchanged. Fills cow_src/cow_dst like pa_append_token; both -1 when
-// nothing needed (unshared, empty, or page-aligned-full tails all count
-// as "nothing needed" only if unshared — a shared FULL tail is left
-// alone too, since future appends open a fresh page and never write it).
-// Needed at FORK time whenever the tail is partially filled: slots past
-// the already-written prefix (e.g. a committed-but-not-yet-appended
-// decode token) would otherwise be written by both branches into the
-// same physical page. Returns 0, or -1 on dead/invalid sequence or OOM.
+// nothing was needed (unshared or empty). Needed at FORK time: the
+// driver's last committed token's device K/V write is still pending, and
+// its slot lives in the tail page — including the LAST slot when length
+// is page-aligned — so both branches would otherwise scatter divergent
+// values into the same physical page (lazy COW at the next allocator
+// append fires too late, and for aligned tails never: the next append
+// opens a fresh page). For direct users with no pending write this
+// spends one page conservatively. Returns 0, or -1 on dead/invalid
+// sequence or OOM.
 int32_t pa_cow_tail(void* h, int32_t sid, int32_t* cow_src,
                     int32_t* cow_dst) {
   auto* a = static_cast<Allocator*>(h);
@@ -174,7 +176,7 @@ int32_t pa_cow_tail(void* h, int32_t sid, int32_t* cow_src,
   if (sid < 0 || sid >= static_cast<int32_t>(a->seqs.size())) return -1;
   Sequence& s = a->seqs[sid];
   if (!s.live) return -1;
-  if (s.pages.empty() || s.length % a->page_size == 0) return 0;
+  if (s.pages.empty()) return 0;
   int32_t tail = s.pages.back();
   if (a->refcount[tail] <= 1) return 0;
   int32_t p;

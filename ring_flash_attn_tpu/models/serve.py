@@ -90,6 +90,23 @@ def _prefill_fn(params, cfg: ModelConfig, tokens, backend=None):
     return (x @ params["lm_head"]).astype(jnp.float32), ks, vs
 
 
+@partial(jax.jit, donate_argnums=(0,))
+def _prefill_write_fn(caches, ks, vs, lane_table):
+    """Scatter one prompt's per-layer K/V into its lane's pages. Donating
+    the caches lets XLA write the page pools in place — an eager
+    `pages.at[bt].set` would copy the whole (num_pages, hkv*ps, d) pool
+    per layer per admission."""
+    new = []
+    lens = jnp.zeros((1,), jnp.int32)  # seq_lens are plan-owned
+    for cache, k, v in zip(caches, ks, vs):
+        one = cache._replace(block_tables=lane_table[None], seq_lens=lens)
+        one = paged.paged_prefill(one, k, v, lens)
+        new.append(
+            cache._replace(k_pages=one.k_pages, v_pages=one.v_pages)
+        )
+    return new
+
+
 @partial(jax.jit, static_argnames=("cfg", "backend"), donate_argnums=(4,))
 def _decode_fn(params, cfg: ModelConfig, tokens, live, caches,
                backend=None):
@@ -237,19 +254,10 @@ class ServingEngine:
             )
             logits, ks, vs = _prefill_fn(self.params, self.cfg, padded,
                                          backend=self.backend)
-            new_caches = []
-            for cache, k, v in zip(self.caches, ks, vs):
-                one = cache._replace(
-                    block_tables=cache.block_tables[r.lane:r.lane + 1],
-                    seq_lens=cache.seq_lens[r.lane:r.lane + 1],
-                )
-                one = paged.paged_prefill(
-                    one, k, v, jnp.asarray([plen], jnp.int32)
-                )
-                new_caches.append(
-                    cache._replace(k_pages=one.k_pages, v_pages=one.v_pages)
-                )
-            self.caches = new_caches
+            self.caches = _prefill_write_fn(
+                self.caches, ks, vs,
+                jnp.asarray(plan.block_tables[r.lane], jnp.int32),
+            )
             self._record(r, self._sample(logits[0, plen - 1]))
 
         return plan.finished

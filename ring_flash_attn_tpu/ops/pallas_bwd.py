@@ -463,7 +463,16 @@ def _dq(dout, qs, k, v, lse_adj, delta, mask, blk_q, blk_kv, interpret):
     if use_meta:
         from .pallas_fwd import block_meta
 
-        q_meta, kv_meta = block_meta(mask, blk_q, blk_kv, blk_kv, n_q, n_kv)
+        # numpy (host) metadata stays numpy: jnp would eagerly commit
+        # device constants per call (see pallas_fwd's static_meta path)
+        static_meta = all(
+            x is None or isinstance(x, np.ndarray)
+            for x in (mask.q_segids, mask.kv_segids, mask.q_pos, mask.kv_pos)
+        )
+        q_meta, kv_meta = block_meta(
+            mask, blk_q, blk_kv, blk_kv, n_q, n_kv,
+            xp=np if static_meta else jnp,
+        )
     else:
         q_meta = np.zeros((6, 1), np.int32)  # unused
         kv_meta = np.zeros((6, 1), np.int32)
@@ -642,7 +651,16 @@ def _dkv(dout, qs, k, v, lse, delta, mask, blk_q, blk_kv, interpret):
     if use_meta:
         from .pallas_fwd import block_meta
 
-        q_meta, kv_meta = block_meta(mask, blk_q, blk_kv, blk_kv, n_q, n_kv)
+        # numpy (host) metadata stays numpy: jnp would eagerly commit
+        # device constants per call (see pallas_fwd's static_meta path)
+        static_meta = all(
+            x is None or isinstance(x, np.ndarray)
+            for x in (mask.q_segids, mask.kv_segids, mask.q_pos, mask.kv_pos)
+        )
+        q_meta, kv_meta = block_meta(
+            mask, blk_q, blk_kv, blk_kv, n_q, n_kv,
+            xp=np if static_meta else jnp,
+        )
     else:
         q_meta = np.zeros((6, 1), np.int32)  # unused
         kv_meta = np.zeros((6, 1), np.int32)

@@ -142,9 +142,10 @@ class NativePageAllocator:
         return int(nid)
 
     def cow_tail(self, sid):
-        """Eagerly COW a shared, partially-filled tail page (see
-        csrc/page_allocator.cpp): returns (src, dst) to copy on device,
-        or None if nothing was needed."""
+        """Eagerly COW a shared tail page (see csrc/page_allocator.cpp —
+        needed at fork time because the driver's pending device write
+        targets the tail, aligned or not): returns (src, dst) to copy on
+        device, or None if nothing was needed."""
         src = ctypes.c_int32()
         dst = ctypes.c_int32()
         if self._lib.pa_cow_tail(
@@ -253,8 +254,8 @@ class PyPageAllocator:
         return nid
 
     def cow_tail(self, sid):
-        pages, length = self._get(sid)
-        if not pages or length % self.page_size == 0:
+        pages, _length = self._get(sid)
+        if not pages:
             return None
         tail = pages[-1]
         if self._ref[tail] <= 1:

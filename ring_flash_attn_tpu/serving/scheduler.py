@@ -77,6 +77,7 @@ class DecodeScheduler:
 
     def submit(self, req_id, prompt_len, max_new_tokens):
         assert req_id not in self._requests
+        assert max_new_tokens >= 1, "a request must generate at least 1 token"
         need = -(-prompt_len // self.alloc.page_size)
         assert need + self.reserve <= self.pages_per_seq, (
             f"prompt needs {need} pages; table holds {self.pages_per_seq}"
@@ -101,12 +102,19 @@ class DecodeScheduler:
         )
         r.generated = src.generated
         r.seq = self.alloc.fork_seq(src.seq)
-        # Eagerly COW a partially-filled shared tail: slots past the
-        # device-written prefix (the committed-but-not-yet-appended decode
-        # token) are written by BOTH branches on their next decode step —
-        # lazy COW at the next allocator append would surface only after
-        # those device writes had already collided in the shared page.
-        cow = self.alloc.cow_tail(r.seq)
+        # Eagerly COW the shared tail: the source's committed-but-not-yet-
+        # appended decode token's slot lives there (the LAST slot when the
+        # length is page-aligned), and both branches write it on their
+        # next decode step — lazy COW at the next allocator append fires
+        # only after those device writes had already collided.
+        try:
+            cow = self.alloc.cow_tail(r.seq)
+        except PageAllocatorError:
+            # OOM mid-fork: roll the fork back (fork_seq bumped every
+            # page's refcount) so repeated fork-under-pressure attempts
+            # don't leak the pool away
+            self.alloc.free_seq(r.seq)
+            raise
         if cow is not None:
             self._pending_cow.append(cow)
         r.lane = lane
@@ -116,9 +124,19 @@ class DecodeScheduler:
 
     def commit(self, req_id, done=False):
         """Record one generated token for req_id (appends a cache slot via
-        the allocator; any COW surfaces in the NEXT begin_step's plan)."""
+        the allocator; any COW surfaces in the NEXT begin_step's plan).
+
+        A request at table capacity (pages_per_seq * page_size tokens) is
+        truncated: the token is recorded as generated but no cache slot
+        exists for it, so it must be the LAST — the request is forced
+        done (the serving analog of max_model_len truncation)."""
         r = self._requests[req_id]
         assert r.lane >= 0 and not r.done
+        capacity = self.pages_per_seq * self.alloc.page_size
+        if self.alloc.seq_len(r.seq) >= capacity:
+            r.generated += 1
+            r.done = True
+            return
         _, cow = self.alloc.append_token(r.seq)
         if cow is not None:
             self._pending_cow.append(cow)
@@ -157,19 +175,20 @@ class DecodeScheduler:
             r.lane = lane
             self.lanes[lane] = r
             admitted.append(r)
-        # 3. assemble the static-shape batch view
+        # 3. assemble the static-shape batch view (shared helper: pads
+        # unused slots with the last valid page and asserts capacity)
+        from . import gather_block_tables
+
         tables = np.zeros((self.max_batch, self.pages_per_seq), np.int32)
         lens = np.zeros((self.max_batch,), np.int32)
-        running = []
-        for i, r in enumerate(self.lanes):
-            if r is None:
-                continue
-            t = self.alloc.block_table(r.seq)
-            tables[i, :len(t)] = t
-            if len(t):
-                tables[i, len(t):] = t[-1]
-            lens[i] = self.alloc.seq_len(r.seq)
-            running.append(r)
+        running = [r for r in self.lanes if r is not None]
+        if running:
+            t, ln = gather_block_tables(
+                self.alloc, [r.seq for r in running], self.pages_per_seq
+            )
+            idx = [r.lane for r in running]
+            tables[idx] = t
+            lens[idx] = ln
         cow = self._pending_cow
         self._pending_cow = []
         src = np.asarray([c[0] for c in cow], np.int32)

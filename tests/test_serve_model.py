@@ -103,3 +103,27 @@ def test_fork_beam_divergence(params):
     forced = list(np.concatenate([prompt, base[:2], [alt]]))
     want_fork = base[:2] + [alt] + _dense_greedy(params, forced, 3)
     assert out[1] == want_fork, (out[1], want_fork)
+
+
+def test_fork_at_page_aligned_length(params):
+    """Regression: fork when (prompt + generated) is exactly page-aligned —
+    the pending token's slot is the tail page's LAST slot, which both
+    branches write next step; the eager tail COW must cover this case."""
+    rng = np.random.default_rng(13)
+    ps = 8
+    prompt = rng.integers(0, CFG.vocab, size=2 * ps - 2).astype(np.int32)
+    eng = ServingEngine(params, CFG, num_pages=40, page_size=ps,
+                        pages_per_seq=6, max_batch=3, reserve=1)
+    eng.submit(0, prompt, 6)
+    eng.step()   # prefill -> len 15
+    eng.step()   # decode  -> len 16 == 2*ps: aligned, last slot pending
+    base = list(eng.outputs[0])
+    assert len(base) == 2
+    alt = int((base[-1] + 1) % CFG.vocab)
+    eng.fork(0, 1, next_token=alt, max_new_tokens=6)
+    out = eng.run(max_steps=40)
+
+    assert out[0] == _dense_greedy(params, prompt, 6)
+    forced = list(np.concatenate([prompt, base[:1], [alt]]))
+    want_fork = base[:1] + [alt] + _dense_greedy(params, forced, 4)
+    assert out[1] == want_fork, (out[1], want_fork)

@@ -177,23 +177,40 @@ def test_fork_shares_pages_and_cows():
     assert t0[0] == t1[0] and t0[-1] != t1[-1]
 
 
-def test_fork_full_tail_stays_shared():
-    """A page-aligned fork shares everything: no eager COW (future appends
-    open fresh pages and never write shared slots)."""
+def test_fork_aligned_tail_still_cows():
+    """A page-aligned fork must STILL COW the tail: the source's pending
+    (committed, not-yet-device-written) token occupies the tail page's
+    LAST slot, so without the copy both branches' next device appends
+    would collide in the shared page."""
     alloc = PageAllocator(16, PS)
     sched = DecodeScheduler(alloc, 4, max_batch=3)
-    sched.submit(0, 2 * PS, 10)
+    sched.submit(0, 2 * PS - 1, 10)
     sched.begin_step()
+    sched.commit(0)            # seq_len -> 2*PS: aligned, slot pending
     base_free = alloc.free_pages
     sched.fork(0, 100)
-    assert alloc.free_pages == base_free           # nothing copied
+    assert alloc.free_pages == base_free - 1       # eager tail copy
     plan = sched.begin_step()
-    assert len(plan.cow[0]) == 0
-    # both next appends open private fresh pages
-    sched.commit(0)
-    sched.commit(100)
-    plan = sched.begin_step()
-    assert len(plan.cow[0]) == 0
+    assert len(plan.cow[0]) == 1                   # surfaced to driver
     t0 = alloc.block_table(sched._requests[0].seq)
     t1 = alloc.block_table(sched._requests[100].seq)
-    assert t0[-1] != t1[-1] and list(t0[:-1]) == list(t1[:-1])
+    assert t0[0] == t1[0] and t0[-1] != t1[-1]
+
+
+def test_capacity_truncates_request():
+    """Generation hitting pages_per_seq * page_size is truncated: the
+    final token is recorded but gets no cache slot, the request is forced
+    done, and begin_step's static tables never overflow."""
+    alloc = PageAllocator(16, PS)
+    sched = DecodeScheduler(alloc, pages_per_seq=2, max_batch=1)
+    sched.submit(0, 2 * PS - 2, 100)   # 2 slots of headroom
+    sched.begin_step()
+    sched.commit(0)                     # fills slot 2*PS-2
+    sched.commit(0)                     # fills the last slot
+    assert not sched._requests[0].done
+    sched.commit(0)                     # at capacity: truncated + done
+    r = sched._requests[0]
+    assert r.done and r.generated == 3
+    assert alloc.seq_len(r.seq) == 2 * PS
+    plan = sched.begin_step()           # retires cleanly, no broadcast
+    assert plan.finished and sched.idle
