@@ -107,13 +107,17 @@ def _prefill_write_fn(caches, ks, vs, lane_table):
     return new
 
 
-@partial(jax.jit, static_argnames=("cfg", "backend"), donate_argnums=(4,))
-def _decode_fn(params, cfg: ModelConfig, tokens, live, caches,
-               backend=None):
+def _decode_body(params, cfg: ModelConfig, tokens, live, caches,
+                 backend=None, append=True):
     """One decode step over all lanes. tokens (B,) int32 pending tokens;
     live (B,) bool; caches: per-layer PagedKVCache whose seq_lens are the
     REWOUND lengths (pending token not yet counted). Returns (logits
-    (B, vocab) f32, caches with the pending token's K/V appended)."""
+    (B, vocab) f32, caches with the pending token's K/V appended).
+
+    append=False skips the K/V page writes (the pending token then does
+    not attend to itself) — only for read-path benchmarking where buffer
+    donation is unavailable and the un-donated scatter would copy the
+    whole page pool per step."""
     b = tokens.shape[0]
     scale = cfg.head_dim**-0.5
     positions = caches[0].seq_lens  # (B,) = pending token's position
@@ -124,7 +128,8 @@ def _decode_fn(params, cfg: ModelConfig, tokens, live, caches,
         q, k, v = _proj_qkv(cfg, layer, xn, b, 1)
         q = _rope_batch(q, positions, cfg.rope_theta)
         k = _rope_batch(k, positions, cfg.rope_theta)
-        cache = paged.paged_append(cache, k, v, mask=live)
+        if append:
+            cache = paged.paged_append(cache, k, v, mask=live)
         out, _ = paged.paged_decode_attention(q, cache, scale,
                                               backend=backend)
         out = out.astype(x.dtype).transpose(0, 2, 1, 3).reshape(b, 1, -1)
@@ -133,6 +138,12 @@ def _decode_fn(params, cfg: ModelConfig, tokens, live, caches,
         new_caches.append(cache)
     x = _rmsnorm(x, params["final_norm"])
     return (x[:, 0] @ params["lm_head"]).astype(jnp.float32), new_caches
+
+
+_decode_fn = partial(
+    jax.jit, static_argnames=("cfg", "backend", "append"),
+    donate_argnums=(4,),
+)(_decode_body)
 
 
 class ServingEngine:

@@ -84,16 +84,18 @@ def trace_device_time(fn, feedback, n_iters=8):
     """Per-iteration on-device compute seconds of ``fn`` (feedback-chained).
 
     ``fn`` must return a value shaped like ``feedback`` (fed back each
-    iteration so the remote content-cache cannot skip work). Returns
-    (per_iter_compute_s, {op: per_iter_s}).
+    iteration so the remote content-cache cannot skip work). The traced
+    loop continues from the warmup call's OUTPUT, so ``fn`` may donate its
+    argument buffers (each iteration consumes the previous one's output).
+    Returns (per_iter_compute_s, {op: per_iter_s}).
     """
     from .timing import fetch_barrier
 
-    fetch_barrier(fn(feedback))  # compile + drain before tracing
+    x = fn(feedback)  # compile + drain before tracing
+    fetch_barrier(x)
     logdir = tempfile.mkdtemp(prefix="devtrace_")
     try:
         with jax.profiler.trace(logdir):
-            x = feedback
             for _ in range(n_iters):
                 x = fn(x)
             fetch_barrier(x)
