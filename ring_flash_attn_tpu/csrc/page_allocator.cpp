@@ -188,6 +188,50 @@ int32_t pa_cow_tail(void* h, int32_t sid, int32_t* cow_src,
   return 0;
 }
 
+// Prefix-sharing allocation: create a sequence of total_tokens whose
+// first prefix_tokens/page_size FULL pages are shared (refcount++) with
+// src's pages; the remainder is allocated fresh. Shared pages are
+// read-only by construction (the new sequence's own tokens start at the
+// page-aligned boundary), so no COW is ever needed for them — refcounts
+// just keep them alive past the source's retirement. Partial-page prefix
+// tokens are NOT shared (the caller recomputes/stores them in its own
+// pages). Returns the new seq id, or -1 on dead src / bad args / OOM
+// (allocator unchanged on failure).
+int32_t pa_alloc_prefix_seq(void* h, int32_t src_sid, int64_t prefix_tokens,
+                            int64_t total_tokens) {
+  auto* a = static_cast<Allocator*>(h);
+  if (src_sid < 0 || src_sid >= static_cast<int32_t>(a->seqs.size()))
+    return -1;
+  const Sequence& src = a->seqs[src_sid];
+  if (!src.live) return -1;
+  if (prefix_tokens < 0 || total_tokens < prefix_tokens) return -1;
+  if (prefix_tokens > src.length) return -1;
+  int64_t shared = prefix_tokens / a->page_size;  // full pages only
+  int64_t need_total = (total_tokens + a->page_size - 1) / a->page_size;
+  int64_t fresh = need_total - shared;
+  if (fresh > static_cast<int64_t>(a->free_stack.size())) return -1;
+  int32_t nid;
+  if (!a->free_seq_ids.empty()) {
+    nid = a->free_seq_ids.back();
+    a->free_seq_ids.pop_back();
+  } else {
+    nid = static_cast<int32_t>(a->seqs.size());
+    a->seqs.emplace_back();
+  }
+  Sequence& s2 = a->seqs[nid];
+  const Sequence& s1 = a->seqs[src_sid];  // re-take: emplace may realloc
+  s2.pages.assign(s1.pages.begin(), s1.pages.begin() + shared);
+  for (int32_t p : s2.pages) a->refcount[p]++;
+  for (int64_t i = 0; i < fresh; ++i) {
+    int32_t p;
+    pop_page(a, &p);  // cannot fail: checked above
+    s2.pages.push_back(p);
+  }
+  s2.length = total_tokens;
+  s2.live = true;
+  return nid;
+}
+
 int32_t pa_free_seq(void* h, int32_t sid) {
   auto* a = static_cast<Allocator*>(h);
   if (sid < 0 || sid >= static_cast<int32_t>(a->seqs.size())) return -1;

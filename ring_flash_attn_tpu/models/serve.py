@@ -90,6 +90,42 @@ def _prefill_fn(params, cfg: ModelConfig, tokens, backend=None):
     return (x @ params["lm_head"]).astype(jnp.float32), ks, vs
 
 
+@partial(jax.jit, static_argnames=("cfg", "backend"))
+def _prefix_prefill_fn(params, cfg: ModelConfig, tokens, prefix_ks,
+                       prefix_vs, backend=None):
+    """Suffix-only prefill: dense causal forward over the padded SUFFIX
+    (1, S) of a prompt whose first P tokens' K/V are already cached
+    (prefix_ks/vs: per-layer (1, Hkv, P, D) gathered from shared pages).
+    Suffix queries attend [prefix ++ suffix] with a causal offset of P —
+    the compute saved vs _prefill_fn is the whole prefix forward, the
+    point of prefix caching. Returns (logits (1, S, vocab), suffix ks,
+    vs) — only the suffix K/V need writing to pages."""
+    b, s = tokens.shape
+    p_len = prefix_ks[0].shape[2]
+    positions = p_len + jnp.arange(s, dtype=jnp.int32)
+    scale = cfg.head_dim**-0.5
+    x = params["embed"][tokens]
+    ks, vs = [], []
+    for layer, pk, pv in zip(params["layers"], prefix_ks, prefix_vs):
+        xn = _rmsnorm(x, layer["attn_norm"])
+        q, k, v = _proj_qkv(cfg, layer, xn, b, s)
+        q = _rope(q, positions, cfg.rope_theta)
+        k = _rope(k, positions, cfg.rope_theta)
+        k_all = jnp.concatenate([pk.astype(k.dtype), k], axis=2)
+        v_all = jnp.concatenate([pv.astype(v.dtype), v], axis=2)
+        out, _ = flash_attention(
+            q, k_all, v_all, scale, MaskArgs(causal=True, offset=p_len),
+            backend=backend,
+        )
+        out = out.astype(x.dtype).transpose(0, 2, 1, 3).reshape(b, s, -1)
+        x = x + out @ layer["wo"]
+        x = _mlp(x, layer)
+        ks.append(k)
+        vs.append(v)
+    x = _rmsnorm(x, params["final_norm"])
+    return (x @ params["lm_head"]).astype(jnp.float32), ks, vs
+
+
 @partial(jax.jit, donate_argnums=(0,))
 def _prefill_write_fn(caches, ks, vs, lane_table):
     """Scatter one prompt's per-layer K/V into its lane's pages. Donating
@@ -180,11 +216,28 @@ class ServingEngine:
         self._pending = {}  # req_id -> next token (int) awaiting decode
         self.outputs = {}
 
-    def submit(self, req_id, prompt_tokens, max_new_tokens):
+    def submit(self, req_id, prompt_tokens, max_new_tokens,
+               prefix_of=None):
+        """Queue a request. prefix_of: a previously submitted request id
+        whose prompt shares a common prefix with this one — the shared
+        page-aligned prefix is reused read-only (no page copies) and its
+        forward pass is SKIPPED at prefill (automatic prefix caching).
+        Best-effort: if the source retired before this request is
+        admitted, it prefills normally."""
         prompt_tokens = np.asarray(prompt_tokens, np.int32).reshape(-1)
         self._prompts[req_id] = prompt_tokens
         self.outputs[req_id] = []
-        self.sched.submit(req_id, len(prompt_tokens), max_new_tokens)
+        prefix_len = 0
+        if prefix_of is not None:
+            src = self._prompts[prefix_of]
+            n = min(len(src), len(prompt_tokens))
+            neq = np.nonzero(src[:n] != prompt_tokens[:n])[0]
+            prefix_len = int(neq[0]) if len(neq) else n
+            # at least one suffix token must run (it produces the
+            # first sampled token's logits)
+            prefix_len = min(prefix_len, len(prompt_tokens) - 1)
+        self.sched.submit(req_id, len(prompt_tokens), max_new_tokens,
+                          prefix_of=prefix_of, prefix_len=prefix_len)
 
     def fork(self, req_id, new_req_id, next_token=None,
              max_new_tokens=None):
@@ -259,17 +312,44 @@ class ServingEngine:
             toks = self._prompts[r.req_id]
             plen = len(toks)
             ps = self.caches[0].page_size
-            pad = -plen % ps
-            padded = jnp.asarray(
-                np.pad(toks, (0, pad))[None], jnp.int32
-            )
-            logits, ks, vs = _prefill_fn(self.params, self.cfg, padded,
-                                         backend=self.backend)
-            self.caches = _prefill_write_fn(
-                self.caches, ks, vs,
-                jnp.asarray(plan.block_tables[r.lane], jnp.int32),
-            )
-            self._record(r, self._sample(logits[0, plen - 1]))
+            table = plan.block_tables[r.lane]
+            p_shared = r.shared_len  # page-aligned, set at admission
+            if p_shared:
+                # prefix caching: gather the shared pages' K/V read-only
+                # and forward only the suffix
+                n_shared = p_shared // ps
+                view_bt = jnp.asarray(table[None, :n_shared], jnp.int32)
+                pks, pvs = [], []
+                for cache in self.caches:
+                    k_pre, v_pre = paged.paged_gather_dense(
+                        cache._replace(
+                            block_tables=view_bt,
+                            seq_lens=jnp.asarray([p_shared], jnp.int32),
+                        )
+                    )
+                    pks.append(k_pre)
+                    pvs.append(v_pre)
+                suf = toks[p_shared:]
+                pad = -len(suf) % ps
+                padded = jnp.asarray(np.pad(suf, (0, pad))[None], jnp.int32)
+                logits, ks, vs = _prefix_prefill_fn(
+                    self.params, self.cfg, padded, tuple(pks), tuple(pvs),
+                    backend=self.backend,
+                )
+                self.caches = _prefill_write_fn(
+                    self.caches, ks, vs,
+                    jnp.asarray(table[n_shared:], jnp.int32),
+                )
+                self._record(r, self._sample(logits[0, len(suf) - 1]))
+            else:
+                pad = -plen % ps
+                padded = jnp.asarray(np.pad(toks, (0, pad))[None], jnp.int32)
+                logits, ks, vs = _prefill_fn(self.params, self.cfg, padded,
+                                             backend=self.backend)
+                self.caches = _prefill_write_fn(
+                    self.caches, ks, vs, jnp.asarray(table, jnp.int32)
+                )
+                self._record(r, self._sample(logits[0, plen - 1]))
 
         return plan.finished
 

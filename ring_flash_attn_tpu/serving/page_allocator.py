@@ -63,6 +63,8 @@ def _build_and_load():
     lib.pa_fork_seq.argtypes = [p, i32]
     lib.pa_cow_tail.restype = i32
     lib.pa_cow_tail.argtypes = [p, i32, ip, ip]
+    lib.pa_alloc_prefix_seq.restype = i32
+    lib.pa_alloc_prefix_seq.argtypes = [p, i32, i64, i64]
     lib.pa_free_seq.restype = i32
     lib.pa_free_seq.argtypes = [p, i32]
     lib.pa_seq_len.restype = i64
@@ -153,6 +155,21 @@ class NativePageAllocator:
         ) != 0:
             raise PageAllocatorError(f"cow_tail failed for seq {sid}")
         return (int(src.value), int(dst.value)) if src.value >= 0 else None
+
+    def alloc_prefix_seq(self, src_sid, prefix_tokens, total_tokens):
+        """New sequence of total_tokens sharing the first
+        prefix_tokens // page_size FULL pages with src (read-only,
+        refcounted); the rest allocated fresh. See csrc."""
+        nid = self._lib.pa_alloc_prefix_seq(
+            self._h, src_sid, prefix_tokens, total_tokens
+        )
+        if nid < 0:
+            raise PageAllocatorError(
+                f"prefix alloc failed (src {src_sid}, prefix "
+                f"{prefix_tokens}, total {total_tokens}, "
+                f"{self.free_pages} pages free)"
+            )
+        return int(nid)
 
     def free_seq(self, sid):
         if self._lib.pa_free_seq(self._h, sid) != 0:
@@ -264,6 +281,25 @@ class PyPageAllocator:
         self._ref[tail] -= 1
         pages[-1] = page
         return (tail, page)
+
+    def alloc_prefix_seq(self, src_sid, prefix_tokens, total_tokens):
+        pages, length = self._get(src_sid)
+        if prefix_tokens < 0 or total_tokens < prefix_tokens:
+            raise PageAllocatorError((prefix_tokens, total_tokens))
+        if prefix_tokens > length:
+            raise PageAllocatorError((prefix_tokens, length))
+        shared = prefix_tokens // self.page_size
+        need_total = -(-total_tokens // self.page_size)
+        fresh = need_total - shared
+        if fresh > len(self._free):
+            raise PageAllocatorError("out of pages")
+        nid = self._new_sid()
+        new_pages = list(pages[:shared])
+        for p in new_pages:
+            self._ref[p] += 1
+        new_pages.extend(self._pop_page() for _ in range(fresh))
+        self._seqs[nid] = [new_pages, total_tokens]
+        return nid
 
     def free_seq(self, sid):
         self._get(sid)

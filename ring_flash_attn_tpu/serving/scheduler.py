@@ -47,6 +47,10 @@ class Request:
     lane: int = -1          # decode lane once admitted
     generated: int = 0
     done: bool = False
+    prefix_of: int = -1     # req id whose prompt prefix this one shares
+    prefix_len: int = 0     # tokens of that prefix present in THIS prompt
+    shared_len: int = 0     # page-aligned tokens actually shared (set at
+                            # admission; 0 if the source was gone by then)
 
 
 @dataclass
@@ -75,14 +79,28 @@ class DecodeScheduler:
 
     # ---- client surface ----
 
-    def submit(self, req_id, prompt_len, max_new_tokens):
+    def submit(self, req_id, prompt_len, max_new_tokens,
+               prefix_of=None, prefix_len=0):
+        """Queue a request. prefix_of/prefix_len declare that this
+        prompt's first prefix_len tokens are IDENTICAL to request
+        prefix_of's prompt prefix: at admission the page-aligned part of
+        that prefix is shared read-only (refcounted full pages, no
+        copies) and the driver may skip recomputing it. Best-effort — if
+        the source has already retired by admission time, the request is
+        allocated normally and shared_len stays 0."""
         assert req_id not in self._requests
         assert max_new_tokens >= 1, "a request must generate at least 1 token"
         need = -(-prompt_len // self.alloc.page_size)
         assert need + self.reserve <= self.pages_per_seq, (
             f"prompt needs {need} pages; table holds {self.pages_per_seq}"
         )
-        r = Request(req_id, prompt_len, max_new_tokens)
+        if prefix_of is not None:
+            assert prefix_len <= prompt_len, (prefix_len, prompt_len)
+            src = self._requests[prefix_of]
+            assert prefix_len <= src.prompt_len, (prefix_len, src.prompt_len)
+        r = Request(req_id, prompt_len, max_new_tokens,
+                    prefix_of=-1 if prefix_of is None else prefix_of,
+                    prefix_len=prefix_len)
         self._requests[req_id] = r
         self.waiting.append(r)
         return r
@@ -158,6 +176,7 @@ class DecodeScheduler:
         for i, r in enumerate(self.lanes):
             if r is not None and r.done:
                 self.alloc.free_seq(r.seq)
+                r.seq = -1  # the id may be reused; never alias through it
                 self.lanes[i] = None
                 finished.append(r)
         # 2. admit waiting requests while lanes + pages allow
@@ -167,11 +186,31 @@ class DecodeScheduler:
             if lane is None:
                 break
             r = self.waiting[0]
-            need = -(-r.prompt_len // self.alloc.page_size) + self.reserve
+            # prefix sharing is best-effort: live source => its full
+            # pages covering the declared prefix come free
+            src = None
+            if r.prefix_of >= 0:
+                cand = self._requests[r.prefix_of]
+                if cand.seq >= 0:  # reset to -1 at retirement
+                    src = cand
+            shared_pages = (
+                r.prefix_len // self.alloc.page_size if src else 0
+            )
+            need = (
+                -(-r.prompt_len // self.alloc.page_size)
+                - shared_pages + self.reserve
+            )
             if need > self.alloc.free_pages:
                 break  # FIFO: don't let small requests starve the head
             self.waiting.popleft()
-            r.seq = self.alloc.alloc_seq(r.prompt_len)
+            if src is not None:
+                r.seq = self.alloc.alloc_prefix_seq(
+                    src.seq, r.prefix_len, r.prompt_len
+                )
+                r.shared_len = shared_pages * self.alloc.page_size
+            else:
+                r.seq = self.alloc.alloc_seq(r.prompt_len)
+                r.shared_len = 0
             r.lane = lane
             self.lanes[lane] = r
             admitted.append(r)

@@ -127,3 +127,53 @@ def test_fork_at_page_aligned_length(params):
     forced = list(np.concatenate([prompt, base[:1], [alt]]))
     want_fork = base[:1] + [alt] + _dense_greedy(params, forced, 4)
     assert out[1] == want_fork, (out[1], want_fork)
+
+
+def test_prefix_cached_admission(params):
+    """Automatic prefix caching: a request submitted with prefix_of= reuses
+    the source's page-aligned common prefix — shared pages (no copies) and
+    a suffix-only prefill — and still decodes exactly like a dense run."""
+    rng = np.random.default_rng(17)
+    ps = 8
+    common = rng.integers(0, CFG.vocab, size=19).astype(np.int32)
+    tail_a = rng.integers(0, CFG.vocab, size=3).astype(np.int32)
+    tail_b = rng.integers(0, CFG.vocab, size=7).astype(np.int32)
+    p_a = np.concatenate([common, tail_a])
+    p_b = np.concatenate([common, tail_b])
+
+    eng = ServingEngine(params, CFG, num_pages=40, page_size=ps,
+                        pages_per_seq=6, max_batch=3, reserve=1)
+    eng.submit(0, p_a, 4)
+    eng.step()                     # admit + prefill A
+    free_before = eng.alloc.free_pages
+    eng.submit(1, p_b, 4, prefix_of=0)
+    eng.step()                     # admit B sharing floor(19/8)=2 pages
+    r_b = eng.sched._requests[1]
+    assert r_b.shared_len == (19 // ps) * ps == 16
+    # B's prompt needs ceil(26/8)=4 pages but only 2 are fresh (+1 from
+    # A's decode append this step at most)
+    used = free_before - eng.alloc.free_pages
+    assert used <= 3, used
+    t0 = eng.alloc.block_table(eng.sched._requests[0].seq)
+    t1 = eng.alloc.block_table(r_b.seq)
+    assert list(t0[:2]) == list(t1[:2]) and t0[2] != t1[2]
+
+    out = eng.run(max_steps=40)
+    assert out[0] == _dense_greedy(params, p_a, 4)
+    assert out[1] == _dense_greedy(params, p_b, 4)
+
+
+def test_prefix_source_retired_falls_back(params):
+    """If the prefix source finished before admission, the request
+    allocates and prefills normally (best-effort contract)."""
+    rng = np.random.default_rng(19)
+    p0 = rng.integers(0, CFG.vocab, size=9).astype(np.int32)
+    p1 = np.concatenate([p0, [3, 1]]).astype(np.int32)
+    eng = ServingEngine(params, CFG, num_pages=40, page_size=8,
+                        pages_per_seq=6, max_batch=1, reserve=1)
+    eng.submit(0, p0, 2)
+    eng.submit(1, p1, 3, prefix_of=0)  # waits: only 1 lane
+    out = eng.run(max_steps=40)
+    assert eng.sched._requests[1].shared_len == 0  # source was retired
+    assert out[0] == _dense_greedy(params, p0, 2)
+    assert out[1] == _dense_greedy(params, p1, 3)

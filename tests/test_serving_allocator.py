@@ -30,8 +30,20 @@ def test_native_matches_python_randomized():
     py, nat = PyPageAllocator(128, 8), NativePageAllocator(128, 8)
     live = []
     for _ in range(2000):
-        op = rng.integers(0, 5)
-        if op == 0 or not live:  # alloc
+        op = rng.integers(0, 6)
+        if op == 5 and live:  # prefix-sharing alloc
+            sid = int(rng.choice(live))
+            pref = int(rng.integers(0, py.seq_len(sid) + 1))
+            total = pref + int(rng.integers(0, 20))
+            try:
+                a = py.alloc_prefix_seq(sid, pref, total)
+            except PageAllocatorError:
+                with pytest.raises(PageAllocatorError):
+                    nat.alloc_prefix_seq(sid, pref, total)
+                continue
+            assert a == nat.alloc_prefix_seq(sid, pref, total)
+            live.append(a)
+        elif op == 0 or not live:  # alloc
             n = int(rng.integers(0, 40))
             try:
                 a = py.alloc_seq(n)
