@@ -1,42 +1,46 @@
 """Model-level serving decode-step latency on the chip (trace-timed).
 
-Measures `models.serve._decode_fn` — embed + N transformer layers with
+Measures `models.serve._decode_body` — embed + N transformer layers with
 paged attention + LM head over a full lane pool — at a llama-8B-shaped
 attention config scaled to fit one v5e (the per-layer cost is what
 matters; total = layers x per-layer + head). This is the end-to-end
 per-step latency a ServingEngine pays on device, as opposed to
 benchmark_decode.py's bare attention kernels.
 
+Methodology (round 3): the step runs as a `lax.scan` of N_INNER
+iterations inside ONE jit — steady-state serving, where params stage
+once — and is timed by the trace interval UNION (`trace_device_busy`).
+Two past pitfalls this avoids, both measured:
+  * summing per-op trace durations double-counts async overlap — the
+    weight matmuls here run concurrently with `slice-start` weight
+    streams whose event duration spans the whole overlap window
+    (duration-sum reads 22 ms/step where the while op itself is 4.3 ms);
+  * per-call timing pays this harness's tunnel re-staging of the 2.3 GB
+    of params every call (single-call union: 7.5 ms vs 4.3 ms steady
+    state).
+
 Run: PYTHONPATH=/root/.axon_site:/root/repo python -u benchmark/benchmark_serving.py
 """
 
 import os
 import sys
+from functools import partial
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from ring_flash_attn_tpu.models import ModelConfig
 from ring_flash_attn_tpu.models.serve import _decode_body
 from ring_flash_attn_tpu.models.transformer import init_params
-
-# Buffer donation is unavailable through this harness's tunnel
-# (InvalidArgument at execute), so time the read path with append=False:
-# an un-donated append scatter would copy the whole page pool per step
-# and measure that copy instead of the decode. In production the engine's
-# donated step appends in place.
-_decode_fn = jax.jit(
-    _decode_body, static_argnames=("cfg", "backend", "append")
-)
 from ring_flash_attn_tpu.ops import paged
-from ring_flash_attn_tpu.utils.trace_timing import trace_device_time
+from ring_flash_attn_tpu.utils.trace_timing import trace_device_busy
 
 B = 8            # decode lanes
 CTX = 8192       # tokens per lane
 PAGE = 256
+N_INNER = 8      # decode steps per jit call (steady state)
 
 
 def main():
@@ -58,19 +62,33 @@ def main():
     live = jnp.ones((B,), bool)
     tokens = jnp.arange(B, dtype=jnp.int32)
 
-    # Tokens derive from the logits so the remote content cache can't
-    # skip work; caches stay constant (append=False, see above).
-    def step(toks):
-        logits, _ = _decode_fn(params, cfg, toks, live, caches,
-                               append=False)
-        return jnp.argmax(logits, axis=-1).astype(jnp.int32)
+    # Buffer donation is unavailable through this harness's tunnel
+    # (InvalidArgument at execute), so time the read path with
+    # append=False: an un-donated append scatter would copy the whole
+    # page pool per step and measure that copy instead of the decode. In
+    # production the engine's donated step appends in place. Tokens
+    # derive from the logits so the content cache cannot skip work.
+    @partial(jax.jit, static_argnames=("cfg",))
+    def scan_steps(params, cfg, toks, live, caches):
+        def body(t, _):
+            logits, _ = _decode_body(params, cfg, t, live, caches,
+                                     append=False)
+            return jnp.argmax(logits, axis=-1).astype(jnp.int32), None
 
-    dt, by_op = trace_device_time(step, tokens)
+        out, _ = jax.lax.scan(body, toks, None, length=N_INNER)
+        return out
+
+    def step(toks):
+        return scan_steps(params, cfg, toks, live, caches)
+
+    dt, _by_op = trace_device_busy(step, tokens)
+    dt /= N_INNER
     kv_bytes = sum(
         c.k_pages.size + c.v_pages.size for c in caches
     ) * 2  # bf16
     print(f"serving decode step: B={B} lanes, ctx={CTX}, "
-          f"{cfg.layers} layers (dim {cfg.dim}, 32q/8kv, D=128)")
+          f"{cfg.layers} layers (dim {cfg.dim}, 32q/8kv, D=128), "
+          f"scan x{N_INNER} in one jit, interval-union device time")
     print(f"  {dt*1e6:8.1f} us/step on-device "
           f"({B/dt:,.0f} tokens/s aggregate)")
     params_bytes = sum(
@@ -80,9 +98,6 @@ def main():
     print(f"  roofline (KV {kv_bytes/1e9:.1f} GB + params "
           f"{params_bytes/1e9:.1f} GB @ 819 GB/s): {roof*1e6:.1f} us "
           f"({roof/dt*100:.1f}% of memory speed-of-light)")
-    top = sorted(by_op.items(), key=lambda kv: -kv[1])[:5]
-    for op, s in top:
-        print(f"    {s*1e6:8.1f} us  {op[:80]}")
 
 
 if __name__ == "__main__":

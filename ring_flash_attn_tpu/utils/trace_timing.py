@@ -21,7 +21,12 @@ from collections import defaultdict
 
 import jax
 
-__all__ = ["parse_device_time", "trace_device_time"]
+__all__ = [
+    "parse_device_time",
+    "trace_device_time",
+    "parse_device_busy",
+    "trace_device_busy",
+]
 
 
 def parse_device_time(logdir):
@@ -78,6 +83,81 @@ def parse_device_time(logdir):
         copy_ps * 1e-12,
         {k: v * 1e-12 for k, v in by_op.items()},
     )
+
+
+def parse_device_busy(logdir):
+    """Union-of-intervals device busy time (seconds) under logdir.
+
+    ``parse_device_time`` SUMS event durations, which is exact for
+    serial-kernel programs (one Pallas call dominating) but overcounts
+    programs with async ops: a ``slice-start``/``copy-start`` event's
+    duration spans start->done, i.e. the whole window it overlaps with
+    compute, so summing counts the same nanoseconds twice. This parser
+    instead merges every "XLA Ops" event into a per-device interval
+    union — concurrent DMA + compute count once — which is the honest
+    cost of an overlapped (e.g. weight-streaming decode) program.
+    """
+    from tensorflow.tsl.profiler.protobuf import xplane_pb2
+
+    paths = glob.glob(
+        os.path.join(logdir, "**", "*.xplane.pb"), recursive=True
+    )
+    if not paths:
+        raise RuntimeError(f"no xplane.pb under {logdir}")
+    intervals = []
+    for path in paths:
+        space = xplane_pb2.XSpace()
+        with open(path, "rb") as f:
+            space.ParseFromString(f.read())
+        for plane in space.planes:
+            name = plane.name
+            is_device = ("TPU" in name or "/device:" in name) and (
+                "Host" not in name
+            )
+            if not is_device:
+                continue
+            for line in plane.lines:
+                if line.name and "Ops" not in line.name:
+                    continue
+                base_ps = line.timestamp_ns * 1000
+                for ev in line.events:
+                    s = base_ps + ev.offset_ps
+                    intervals.append((s, s + ev.duration_ps))
+    intervals.sort()
+    busy_ps = 0
+    cur_s = cur_e = None
+    for s, e in intervals:
+        if cur_e is None or s > cur_e:
+            if cur_e is not None:
+                busy_ps += cur_e - cur_s
+            cur_s, cur_e = s, e
+        else:
+            cur_e = max(cur_e, e)
+    if cur_e is not None:
+        busy_ps += cur_e - cur_s
+    return busy_ps * 1e-12
+
+
+def trace_device_busy(fn, feedback, n_iters=8):
+    """Per-iteration union-of-intervals device busy seconds of ``fn``.
+
+    Same feedback-chain protocol as ``trace_device_time`` but measures
+    overlapped async ops honestly (see ``parse_device_busy``)."""
+    from .timing import fetch_barrier
+
+    x = fn(feedback)
+    fetch_barrier(x)
+    logdir = tempfile.mkdtemp(prefix="devbusy_")
+    try:
+        with jax.profiler.trace(logdir):
+            for _ in range(n_iters):
+                x = fn(x)
+            fetch_barrier(x)
+        busy = parse_device_busy(logdir)
+        _, _, by_op = parse_device_time(logdir)
+    finally:
+        shutil.rmtree(logdir, ignore_errors=True)
+    return busy / n_iters, {k: v / n_iters for k, v in by_op.items()}
 
 
 def trace_device_time(fn, feedback, n_iters=8):
