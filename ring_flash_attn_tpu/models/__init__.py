@@ -7,7 +7,7 @@ from .transformer import (
     param_specs,
     prepare_zigzag_batch,
 )
-from .serve import ServingEngine
+from .serve import ServingEngine, SamplingParams
 
 __all__ = [
     "ModelConfig",
@@ -18,4 +18,5 @@ __all__ = [
     "param_specs",
     "prepare_zigzag_batch",
     "ServingEngine",
+    "SamplingParams",
 ]

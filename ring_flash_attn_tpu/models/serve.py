@@ -24,6 +24,7 @@ seq_len-1 (the scheduler's commit already counted it), attends over the
 whole lane, and samples the next token.
 """
 
+import dataclasses
 from functools import partial
 
 import jax
@@ -37,7 +38,46 @@ from ..serving import PageAllocator
 from ..serving.scheduler import DecodeScheduler
 from .transformer import ModelConfig, _mlp, _rmsnorm, _rope
 
-__all__ = ["ServingEngine"]
+__all__ = ["ServingEngine", "SamplingParams"]
+
+
+@dataclasses.dataclass(frozen=True)
+class SamplingParams:
+    """Per-request sampling policy (host-side — the device step stays
+    static and returns full logits rows; vocab * max_batch floats per
+    step is trivial host work).
+
+    temperature 0.0 = greedy argmax (the default, and what the token-
+    for-token oracle tests pin). Otherwise: logits / temperature, then
+    top_k (keep the k highest, 0 = off), then top_p nucleus filtering
+    (smallest set of tokens whose probability mass reaches top_p), then
+    one categorical draw from a per-request deterministic generator —
+    same (seed, request) always yields the same continuation."""
+
+    temperature: float = 0.0
+    top_k: int = 0
+    top_p: float = 1.0
+    seed: int = 0
+
+    def sample(self, logits, rng):
+        """logits (vocab,) float np array -> int token id."""
+        if self.temperature <= 0.0:
+            return int(np.argmax(logits))
+        logits = logits.astype(np.float64) / self.temperature
+        if self.top_k > 0 and self.top_k < logits.shape[0]:
+            kth = np.partition(logits, -self.top_k)[-self.top_k]
+            logits = np.where(logits < kth, -np.inf, logits)
+        if self.top_p < 1.0:
+            order = np.argsort(-logits)
+            p = np.exp(logits[order] - np.max(logits))
+            p /= p.sum()
+            keep_sorted = np.cumsum(p) - p < self.top_p  # first always kept
+            keep = np.zeros_like(keep_sorted)
+            keep[order] = keep_sorted
+            logits = np.where(keep, logits, -np.inf)
+        p = np.exp(logits - np.max(logits))
+        p /= p.sum()
+        return int(rng.choice(logits.shape[0], p=p))
 
 
 def _rope_batch(x, positions, theta):
@@ -143,6 +183,71 @@ def _prefill_write_fn(caches, ks, vs, lane_table):
     return new
 
 
+def _chunk_prefill_body(params, cfg: ModelConfig, tokens, p_len,
+                        write_table, lane_table, caches, with_logits=True,
+                        backend=None):
+    """One CHUNK of a chunked prefill: forward `tokens` (1, C) — the
+    prompt's tokens at positions [p_len, p_len + C) — writing each
+    layer's chunk K/V into the lane's pages and attending over ALL of the
+    lane's pages so far (prefix-cached pages included, with no separate
+    gather path: they are simply earlier entries of the same table).
+
+    Static shapes regardless of prompt length or progress — C, the write
+    table width C/page_size, and the gathered context (pages_per_seq *
+    page_size) are all fixed, so the whole prefill of any prompt compiles
+    exactly twice (with_logits False/True). This is the vLLM-style
+    chunked prefill that lets long-prompt admissions interleave with
+    decode steps instead of stalling the lane pool (the dense
+    `_prefill_fn` recompiles per padded prompt length and runs the whole
+    prompt in one step).
+
+    p_len: traced int32 scalar, page-aligned chunk start. write_table
+    (C/page_size,) int32: the REAL page ids for this chunk's span, padded
+    with num_pages past the prompt's allocation (paged_prefill drops
+    out-of-range writes — the padded tail of the final chunk). lane_table
+    (pages_per_seq,) int32: the lane's full (read) table. Attention mask:
+    causal with traced offset p_len — gathered kv index j is attended iff
+    j <= p_len + row, which covers the previously-written prefix
+    (j < p_len) plus the in-chunk causal triangle; positions past the
+    chunk (garbage pages) are never attended. Returns (logits (1, C,
+    vocab) or None, caches)."""
+    b, c = tokens.shape
+    scale = cfg.head_dim**-0.5
+    positions = p_len + jnp.arange(c, dtype=jnp.int32)
+    x = params["embed"][tokens]
+    new_caches = []
+    zero = jnp.zeros((1,), jnp.int32)
+    for layer, cache in zip(params["layers"], caches):
+        xn = _rmsnorm(x, layer["attn_norm"])
+        q, k, v = _proj_qkv(cfg, layer, xn, b, c)
+        q = _rope(q, positions, cfg.rope_theta)
+        k = _rope(k, positions, cfg.rope_theta)
+        w = cache._replace(block_tables=write_table[None], seq_lens=zero)
+        w = paged.paged_prefill(w, k, v, zero)
+        cache = cache._replace(k_pages=w.k_pages, v_pages=w.v_pages)
+        kd, vd = paged.paged_gather_dense(
+            cache._replace(block_tables=lane_table[None])
+        )
+        out, _ = flash_attention(
+            q, kd, vd, scale, MaskArgs(causal=True, offset=p_len),
+            backend=backend,
+        )
+        out = out.astype(x.dtype).transpose(0, 2, 1, 3).reshape(b, c, -1)
+        x = x + out @ layer["wo"]
+        x = _mlp(x, layer)
+        new_caches.append(cache)
+    if not with_logits:
+        return None, new_caches
+    x = _rmsnorm(x, params["final_norm"])
+    return (x @ params["lm_head"]).astype(jnp.float32), new_caches
+
+
+_chunk_prefill_fn = partial(
+    jax.jit, static_argnames=("cfg", "with_logits", "backend"),
+    donate_argnums=(6,),
+)(_chunk_prefill_body)
+
+
 def _decode_body(params, cfg: ModelConfig, tokens, live, caches,
                  backend=None, append=True):
     """One decode step over all lanes. tokens (B,) int32 pending tokens;
@@ -196,7 +301,13 @@ class ServingEngine:
 
     def __init__(self, params, cfg: ModelConfig, num_pages, page_size,
                  pages_per_seq, max_batch, reserve=1, backend=None,
-                 allocator=None):
+                 allocator=None, prefill_chunk=None):
+        """prefill_chunk: if set (a page_size multiple), prompts prefill
+        CHUNK tokens per engine step through `_chunk_prefill_body` —
+        static shapes (two compiles total, vs one per padded prompt
+        length for the dense path) and decode steps interleave with long
+        prefills instead of waiting behind them. None = dense one-shot
+        prefill (the default; bit-identical outputs either way)."""
         self.params = params
         self.cfg = cfg
         self.backend = backend
@@ -204,6 +315,11 @@ class ServingEngine:
         self.sched = DecodeScheduler(self.alloc, pages_per_seq, max_batch,
                                      reserve=reserve)
         self.max_batch = max_batch
+        if prefill_chunk is not None:
+            assert prefill_chunk > 0 and prefill_chunk % page_size == 0, (
+                prefill_chunk, page_size)
+        self.prefill_chunk = prefill_chunk
+        self.num_pages = num_pages
         self.caches = [
             paged.paged_init(
                 max_batch, cfg.kv_heads, num_pages, page_size,
@@ -214,19 +330,24 @@ class ServingEngine:
         ]
         self._prompts = {}
         self._pending = {}  # req_id -> next token (int) awaiting decode
+        self._prefilling = {}  # req_id -> chunked-prefill progress dict
+        self._sampling = {}  # req_id -> (SamplingParams, np Generator)
         self.outputs = {}
 
     def submit(self, req_id, prompt_tokens, max_new_tokens,
-               prefix_of=None):
+               prefix_of=None, sampling=None):
         """Queue a request. prefix_of: a previously submitted request id
         whose prompt shares a common prefix with this one — the shared
         page-aligned prefix is reused read-only (no page copies) and its
         forward pass is SKIPPED at prefill (automatic prefix caching).
         Best-effort: if the source retired before this request is
-        admitted, it prefills normally."""
+        admitted, it prefills normally. sampling: a SamplingParams
+        (default greedy)."""
         prompt_tokens = np.asarray(prompt_tokens, np.int32).reshape(-1)
         self._prompts[req_id] = prompt_tokens
         self.outputs[req_id] = []
+        sp = sampling or SamplingParams()
+        self._sampling[req_id] = (sp, np.random.default_rng(sp.seed))
         prefix_len = 0
         if prefix_of is not None:
             src = self._prompts[prefix_of]
@@ -240,16 +361,24 @@ class ServingEngine:
                           prefix_of=prefix_of, prefix_len=prefix_len)
 
     def fork(self, req_id, new_req_id, next_token=None,
-             max_new_tokens=None):
+             max_new_tokens=None, sampling=None):
         """Beam-search fork of a RUNNING request: the new request shares
         the source's pages copy-on-write (device page copies surface in
         the next step's plan) and continues decoding from `next_token`
         (default: the source's own pending token — identical continuation
-        unless the sampler diverges). Takes a free lane immediately."""
+        unless the sampler diverges). Takes a free lane immediately.
+        sampling: SamplingParams for the fork (default: the source's
+        policy with a fork-specific generator, so stochastic branches
+        diverge deterministically)."""
         assert req_id in self._pending, "can only fork a decoding request"
         r = self.sched.fork(req_id, new_req_id,
                             max_new_tokens=max_new_tokens)
         self._prompts[new_req_id] = self._prompts[req_id]
+        sp = sampling or self._sampling[req_id][0]
+        self._sampling[new_req_id] = (
+            sp,
+            np.random.default_rng([sp.seed, abs(hash(new_req_id))]),
+        )
         # the source's last recorded token IS its pending (not-yet-decoded)
         # one; a diverging fork replaces it with the alternative
         out = list(self.outputs[req_id])
@@ -261,8 +390,9 @@ class ServingEngine:
         self.outputs[new_req_id] = out
         return r
 
-    def _sample(self, logits):
-        return int(np.argmax(np.asarray(logits)))
+    def _sample(self, req_id, logits):
+        sp, rng = self._sampling[req_id]
+        return sp.sample(np.asarray(logits), rng)
 
     def _record(self, r, tok):
         self.outputs[r.req_id].append(tok)
@@ -270,6 +400,7 @@ class ServingEngine:
         self.sched.commit(r.req_id, done=done)
         if done:
             self._pending.pop(r.req_id, None)
+            self._sampling.pop(r.req_id, None)
         else:
             self._pending[r.req_id] = tok
 
@@ -291,7 +422,10 @@ class ServingEngine:
         for r in dec:
             live[r.lane] = True
             tokens[r.lane] = self._pending[r.req_id]
-        lens = plan.seq_lens - live
+        # rewind live lanes (the pending token is appended at lens-1);
+        # zero lanes with nothing to decode (dead, or mid-chunked-prefill)
+        # so the decode kernel skips their context entirely
+        lens = np.where(live, plan.seq_lens - 1, 0)
         self.caches = [
             c._replace(block_tables=jnp.asarray(plan.block_tables),
                        seq_lens=jnp.asarray(lens, jnp.int32))
@@ -304,7 +438,7 @@ class ServingEngine:
             )
             logits = np.asarray(logits)
             for r in dec:
-                self._record(r, self._sample(logits[r.lane]))
+                self._record(r, self._sample(r.req_id, logits[r.lane]))
 
         # prefill newly admitted prompts (their first token samples from
         # the prompt's last logit; its K/V appends on the next step)
@@ -314,6 +448,19 @@ class ServingEngine:
             ps = self.caches[0].page_size
             table = plan.block_tables[r.lane]
             p_shared = r.shared_len  # page-aligned, set at admission
+            if self.prefill_chunk is not None:
+                # chunked: queue the suffix; chunks advance below, one per
+                # step, interleaved with other lanes' decodes. Prefix-
+                # cached pages need no gather — they are earlier entries
+                # of the same lane table the chunk attention reads.
+                c = self.prefill_chunk
+                suf = toks[p_shared:]
+                padded = np.pad(suf, (0, -len(suf) % c))
+                self._prefilling[r.req_id] = {
+                    "req": r, "tokens": padded, "p0": p_shared,
+                    "next": 0, "plen": plen,
+                }
+                continue
             if p_shared:
                 # prefix caching: gather the shared pages' K/V read-only
                 # and forward only the suffix
@@ -340,7 +487,9 @@ class ServingEngine:
                     self.caches, ks, vs,
                     jnp.asarray(table[n_shared:], jnp.int32),
                 )
-                self._record(r, self._sample(logits[0, len(suf) - 1]))
+                self._record(
+                    r, self._sample(r.req_id, logits[0, len(suf) - 1])
+                )
             else:
                 pad = -plen % ps
                 padded = jnp.asarray(np.pad(toks, (0, pad))[None], jnp.int32)
@@ -349,7 +498,40 @@ class ServingEngine:
                 self.caches = _prefill_write_fn(
                     self.caches, ks, vs, jnp.asarray(table, jnp.int32)
                 )
-                self._record(r, self._sample(logits[0, plen - 1]))
+                self._record(r, self._sample(r.req_id, logits[0, plen - 1]))
+
+        # advance chunked prefills: one chunk per request per step
+        for req_id in list(self._prefilling):
+            st = self._prefilling[req_id]
+            r = st["req"]
+            c = self.prefill_chunk
+            ps = self.caches[0].page_size
+            j = st["next"]
+            p_len = st["p0"] + j * c
+            last = (j + 1) * c >= len(st["tokens"])
+            chunk = st["tokens"][j * c:(j + 1) * c]
+            # real page ids for this chunk's span; pad past the prompt's
+            # allocation with num_pages (paged_prefill drops those writes)
+            pages = self.alloc.block_table(r.seq)
+            i0 = p_len // ps
+            wt = np.full((c // ps,), self.num_pages, np.int32)
+            avail = pages[i0:i0 + c // ps]
+            wt[:len(avail)] = avail
+            lane_table = np.zeros((self.caches[0].block_tables.shape[1],),
+                                  np.int32)
+            lane_table[:len(pages)] = pages
+            logits, self.caches = _chunk_prefill_fn(
+                self.params, self.cfg, jnp.asarray(chunk[None]),
+                jnp.int32(p_len), jnp.asarray(wt), jnp.asarray(lane_table),
+                self.caches, with_logits=last, backend=self.backend,
+            )
+            st["next"] += 1
+            if last:
+                del self._prefilling[req_id]
+                idx = (st["plen"] - st["p0"] - 1) - j * c
+                self._record(
+                    r, self._sample(req_id, np.asarray(logits)[0, idx])
+                )
 
         return plan.finished
 

@@ -79,7 +79,12 @@ def paged_init(batch, hkv, num_pages, page_size, pages_per_seq, d,
 def paged_prefill(cache: PagedKVCache, k, v, seq_lens):
     """Bulk-write dense k/v (B, Hkv, S, D) into the cache's pages and set
     seq_lens. S must be a multiple of page_size; positions past seq_lens[b]
-    are written but masked at read."""
+    are written but masked at read.
+
+    Out-of-range page ids in block_tables (>= num_pages) DROP their write
+    (jax scatter mode="drop") instead of clamping onto the last page —
+    callers with fewer real pages than S/page_size (e.g. a chunked
+    prefill's padded final chunk) pad the table with num_pages."""
     _, hkv, ps, d = cache.k_pages.shape
     b, _, s, _ = k.shape
     assert s % ps == 0, (s, ps)
@@ -89,7 +94,7 @@ def paged_prefill(cache: PagedKVCache, k, v, seq_lens):
     def scatter(pages, x):
         # x (B, Hkv, S, D) -> blocks (B, nblk, Hkv, ps, D)
         xb = x.reshape(b, hkv, nblk, ps, d).transpose(0, 2, 1, 3, 4)
-        return pages.at[bt].set(xb.astype(pages.dtype))
+        return pages.at[bt].set(xb.astype(pages.dtype), mode="drop")
 
     return cache._replace(
         k_pages=scatter(cache.k_pages, k),
@@ -477,8 +482,8 @@ def paged_quant_prefill(cache: QuantPagedKVCache, k, v, seq_lens):
         xb = x_q.reshape(b, hkv, nblk, ps, d).transpose(0, 2, 1, 3, 4)
         sb = x_s.reshape(b, hkv, nblk, ps).transpose(0, 2, 1, 3)[:, :, :, None, :]
         return (
-            pages.at[bt].set(xb.astype(pages.dtype)),
-            scales.at[bt].set(sb),
+            pages.at[bt].set(xb.astype(pages.dtype), mode="drop"),
+            scales.at[bt].set(sb, mode="drop"),
         )
 
     kp, ks = scatter2(cache.k_pages, cache.k_scales, k)

@@ -177,3 +177,128 @@ def test_prefix_source_retired_falls_back(params):
     assert eng.sched._requests[1].shared_len == 0  # source was retired
     assert out[0] == _dense_greedy(params, p0, 2)
     assert out[1] == _dense_greedy(params, p1, 3)
+
+
+# ---- chunked prefill ----
+
+
+def test_chunked_prefill_matches_dense(params):
+    """prefill_chunk engines must be token-identical to the dense-prefill
+    engine (and the dense oracle) across prompt lengths below, at, and
+    above the chunk size, under a tight pool with lane turnover."""
+    rng = np.random.default_rng(23)
+    specs = {0: (11, 3), 1: (19, 6), 2: (5, 4), 3: (30, 2), 4: (16, 3)}
+    prompts = {
+        rid: rng.integers(0, CFG.vocab, size=plen).astype(np.int32)
+        for rid, (plen, _new) in specs.items()
+    }
+    eng = ServingEngine(params, CFG, num_pages=24, page_size=8,
+                        pages_per_seq=6, max_batch=2, reserve=1,
+                        prefill_chunk=16)
+    for rid, (_plen, new) in specs.items():
+        eng.submit(rid, prompts[rid], new)
+    outputs = eng.run(max_steps=120)
+    for rid, (_plen, new) in specs.items():
+        want = _dense_greedy(params, prompts[rid], new)
+        assert outputs[rid] == want, (rid, outputs[rid], want)
+
+
+def test_chunked_prefill_interleaves_decode(params):
+    """The point of chunking: a long prompt's prefill spans several steps
+    and the already-running request KEEPS DECODING during them instead of
+    stalling behind one monolithic prefill."""
+    rng = np.random.default_rng(29)
+    p0 = rng.integers(0, CFG.vocab, size=6).astype(np.int32)
+    p1 = rng.integers(0, CFG.vocab, size=40).astype(np.int32)  # 5 chunks
+    eng = ServingEngine(params, CFG, num_pages=40, page_size=8,
+                        pages_per_seq=7, max_batch=2, reserve=1,
+                        prefill_chunk=8)
+    eng.submit(0, p0, 10)
+    eng.step()  # admit + single-chunk prefill of request 0
+    eng.submit(1, p1, 2)
+    n0 = len(eng.outputs[0])
+    eng.step()  # admits request 1; chunk 1/5 — and request 0 decodes
+    assert 1 in eng._prefilling  # still prefilling
+    assert len(eng.outputs[0]) == n0 + 1  # decode was not blocked
+    eng.step()  # chunk 2/5 + another decode
+    assert 1 in eng._prefilling
+    assert len(eng.outputs[0]) == n0 + 2
+    out = eng.run(max_steps=60)
+    assert out[0] == _dense_greedy(params, p0, 10)
+    assert out[1] == _dense_greedy(params, p1, 2)
+
+
+def test_chunked_prefill_with_prefix_cache(params):
+    """Chunked prefill composes with automatic prefix caching: the chunk
+    walk starts after the shared pages (no suffix gather path needed —
+    the shared prefix is read through the same lane table)."""
+    rng = np.random.default_rng(31)
+    ps = 8
+    common = rng.integers(0, CFG.vocab, size=19).astype(np.int32)
+    p_a = np.concatenate([common, rng.integers(0, CFG.vocab, 3)]).astype(
+        np.int32)
+    p_b = np.concatenate([common, rng.integers(0, CFG.vocab, 7)]).astype(
+        np.int32)
+    eng = ServingEngine(params, CFG, num_pages=40, page_size=ps,
+                        pages_per_seq=6, max_batch=3, reserve=1,
+                        prefill_chunk=ps)
+    eng.submit(0, p_a, 4)
+    eng.submit(1, p_b, 4, prefix_of=0)
+    out = eng.run(max_steps=60)
+    assert eng.sched._requests[1].shared_len == 16
+    assert out[0] == _dense_greedy(params, p_a, 4)
+    assert out[1] == _dense_greedy(params, p_b, 4)
+
+
+# ---- sampling ----
+
+
+def test_sampling_topk1_equals_greedy(params):
+    """temperature > 0 with top_k=1 must reduce to greedy."""
+    from ring_flash_attn_tpu.models.serve import SamplingParams
+
+    rng = np.random.default_rng(37)
+    prompt = rng.integers(0, CFG.vocab, size=9).astype(np.int32)
+    eng = ServingEngine(params, CFG, num_pages=20, page_size=8,
+                        pages_per_seq=6, max_batch=2, reserve=1)
+    eng.submit(0, prompt, 5,
+               sampling=SamplingParams(temperature=0.7, top_k=1, seed=1))
+    out = eng.run(max_steps=40)
+    assert out[0] == _dense_greedy(params, prompt, 5)
+
+
+def test_sampling_seed_reproducible(params):
+    """Same (prompt, SamplingParams) -> same stochastic continuation
+    across engines; the run is also a valid token sequence (all ids in
+    vocab)."""
+    from ring_flash_attn_tpu.models.serve import SamplingParams
+
+    rng = np.random.default_rng(41)
+    prompt = rng.integers(0, CFG.vocab, size=9).astype(np.int32)
+    sp = SamplingParams(temperature=1.3, top_k=7, top_p=0.9, seed=123)
+    outs = []
+    for _ in range(2):
+        eng = ServingEngine(params, CFG, num_pages=20, page_size=8,
+                            pages_per_seq=6, max_batch=2, reserve=1)
+        eng.submit(0, prompt, 6, sampling=sp)
+        outs.append(eng.run(max_steps=40)[0])
+    assert outs[0] == outs[1]
+    assert all(0 <= t < CFG.vocab for t in outs[0])
+
+
+def test_sampling_params_filters():
+    """SamplingParams.sample unit behavior: top_k restricts the support,
+    top_p keeps the smallest nucleus (a dominant token is always chosen),
+    temperature=0 is argmax."""
+    from ring_flash_attn_tpu.models.serve import SamplingParams
+
+    logits = np.array([0.0, 10.0, 1.0, 2.0, 1.5], np.float32)
+    rng = np.random.default_rng(0)
+    assert SamplingParams().sample(logits, rng) == 1
+    # top_p=0.5 with a dominant token: nucleus = {1}
+    sp = SamplingParams(temperature=1.0, top_p=0.5)
+    assert all(sp.sample(logits, rng) == 1 for _ in range(20))
+    # top_k=2: support is {1, 3}
+    sp = SamplingParams(temperature=5.0, top_k=2, seed=7)
+    draws = {sp.sample(logits, rng) for _ in range(50)}
+    assert draws <= {1, 3} and len(draws) == 2
