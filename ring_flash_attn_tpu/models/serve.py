@@ -96,8 +96,11 @@ def _rope_batch(x, positions, theta):
     ).astype(x.dtype)
 
 
-def _proj_qkv(cfg, layer, xn, b, s):
-    h, hkv, hd = cfg.heads, cfg.kv_heads, cfg.head_dim
+def _proj_qkv(cfg, layer, xn, b, s, tp=1):
+    """tp > 1: wq/wk/wv are column shards — this shard owns heads/tp
+    query heads and kv_heads/tp KV heads (megatron TP, the convention of
+    transformer.param_specs)."""
+    h, hkv, hd = cfg.heads // tp, cfg.kv_heads // tp, cfg.head_dim
     q = (xn @ layer["wq"]).reshape(b, s, h, hd).transpose(0, 2, 1, 3)
     k = (xn @ layer["wk"]).reshape(b, s, hkv, hd).transpose(0, 2, 1, 3)
     v = (xn @ layer["wv"]).reshape(b, s, hkv, hd).transpose(0, 2, 1, 3)
@@ -249,7 +252,7 @@ _chunk_prefill_fn = partial(
 
 
 def _decode_body(params, cfg: ModelConfig, tokens, live, caches,
-                 backend=None, append=True):
+                 backend=None, append=True, tp_axis=None):
     """One decode step over all lanes. tokens (B,) int32 pending tokens;
     live (B,) bool; caches: per-layer PagedKVCache whose seq_lens are the
     REWOUND lengths (pending token not yet counted). Returns (logits
@@ -258,15 +261,28 @@ def _decode_body(params, cfg: ModelConfig, tokens, live, caches,
     append=False skips the K/V page writes (the pending token then does
     not attend to itself) — only for read-path benchmarking where buffer
     donation is unavailable and the un-donated scatter would copy the
-    whole page pool per step."""
+    whole page pool per step.
+
+    tp_axis: run TENSOR-PARALLEL inside shard_map over that mesh axis —
+    distributed serving for models too large for one chip. Weights follow
+    `transformer.param_specs` (wq/wk/wv/gate/up column-sharded, wo/down
+    row-sharded with one psum each, embed/norms/lm_head replicated);
+    caches shard on the KV-head axis (k_pages/v_pages PartitionSpec
+    (None, tp, None, None)), so each shard appends and attends only its
+    kv_heads/tp heads — the page pool and block tables replicate, the KV
+    bytes split tp ways. One psum per layer's attention output + one per
+    MLP; logits come out replicated."""
+    from jax import lax
+
     b = tokens.shape[0]
+    tp = 1 if tp_axis is None else lax.psum(1, tp_axis)
     scale = cfg.head_dim**-0.5
     positions = caches[0].seq_lens  # (B,) = pending token's position
     x = params["embed"][tokens][:, None]  # (B, 1, d)
     new_caches = []
     for layer, cache in zip(params["layers"], caches):
         xn = _rmsnorm(x, layer["attn_norm"])
-        q, k, v = _proj_qkv(cfg, layer, xn, b, 1)
+        q, k, v = _proj_qkv(cfg, layer, xn, b, 1, tp=tp)
         q = _rope_batch(q, positions, cfg.rope_theta)
         k = _rope_batch(k, positions, cfg.rope_theta)
         if append:
@@ -274,8 +290,11 @@ def _decode_body(params, cfg: ModelConfig, tokens, live, caches,
         out, _ = paged.paged_decode_attention(q, cache, scale,
                                               backend=backend)
         out = out.astype(x.dtype).transpose(0, 2, 1, 3).reshape(b, 1, -1)
-        x = x + out @ layer["wo"]
-        x = _mlp(x, layer)
+        proj = out @ layer["wo"]
+        if tp_axis is not None:
+            proj = lax.psum(proj, tp_axis)  # row-sharded wo partials
+        x = x + proj
+        x = _mlp(x, layer, tp_axis=tp_axis)
         new_caches.append(cache)
     x = _rmsnorm(x, params["final_norm"])
     return (x[:, 0] @ params["lm_head"]).astype(jnp.float32), new_caches
