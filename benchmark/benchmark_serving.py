@@ -32,7 +32,11 @@ import jax
 import jax.numpy as jnp
 
 from ring_flash_attn_tpu.models import ModelConfig
-from ring_flash_attn_tpu.models.serve import _decode_body
+from ring_flash_attn_tpu.models.serve import (
+    _chunk_prefill_body,
+    _decode_body,
+    _prefill_fn,
+)
 from ring_flash_attn_tpu.models.transformer import init_params
 from ring_flash_attn_tpu.ops import paged
 from ring_flash_attn_tpu.utils.trace_timing import trace_device_busy
@@ -41,6 +45,98 @@ B = 8            # decode lanes
 CTX = 8192       # tokens per lane
 PAGE = 256
 N_INNER = 8      # decode steps per jit call (steady state)
+CHUNK = 512      # chunked-prefill chunk size
+
+
+def _prefill_flops(cfg, s):
+    """Model-level causal prefill FLOPs (matmuls + attention)."""
+    d, h, kv, hd, mlp = (cfg.dim, cfg.heads, cfg.kv_heads, cfg.head_dim,
+                         cfg.mlp_dim)
+    per_layer = (
+        2 * s * d * (h * hd)            # wq
+        + 2 * 2 * s * d * (kv * hd)     # wk, wv
+        + 2 * s * (h * hd) * d          # wo
+        + 3 * 2 * s * d * mlp           # gate, up, down
+        + 4 * s * s * h * hd * 0.5      # causal attention
+    )
+    # lm_head runs on ONE row (the serving path slices x to the sampled
+    # position first — all-position logits would add 2*s*d*vocab, ~9% of
+    # an 8k Llama-8B prefill)
+    return cfg.layers * per_layer + 2 * d * cfg.vocab
+
+
+def bench_prefill(params, cfg, peak=197e12):
+    """Model-level prefill throughput: dense one-shot vs chunked (the
+    static-shape path long admissions take). The chunked path's extra
+    cost is the per-chunk dense gather of the lane's pages — measured
+    here against the same compute roofline."""
+    s = CTX
+    toks = jax.random.randint(jax.random.PRNGKey(9), (1, s), 0, cfg.vocab,
+                              jnp.int32)
+
+    # dense: one padded forward (what a single admission runs today:
+    # last_idx slices x to the sampled row before the lm_head); consume
+    # the whole (1, 1, vocab) logits (see the DCE note below)
+    def dense(t):
+        logits, _ks, _vs = _prefill_fn(params, cfg, t, jnp.int32(s - 1))
+        return (t + jnp.sum(logits).astype(jnp.int32)) % cfg.vocab
+
+    dt_dense, _ = trace_device_busy(dense, toks, n_iters=4)
+
+    # chunked: all chunks in one jit via scan (the engine runs one chunk
+    # per step; the scan measures the same device work back to back)
+    pps = s // PAGE
+    cache0 = [
+        paged.paged_init(1, cfg.kv_heads, pps, PAGE, pps, cfg.head_dim,
+                         dtype=jnp.bfloat16)
+        for _ in range(cfg.layers)
+    ]
+    n_chunks = s // CHUNK
+    lane = jnp.arange(pps, dtype=jnp.int32)
+    wts = jnp.arange(pps, dtype=jnp.int32).reshape(n_chunks, CHUNK // PAGE)
+    plens = jnp.arange(n_chunks, dtype=jnp.int32) * CHUNK
+
+    # DCE guards, learned the hard way (the first cut measured an
+    # impossible "120% of chip peak"): every chunk's FULL last-layer
+    # activation must feed the result (with_logits=False returns its
+    # full-reduction checksum — chunks only carry page writes forward, so
+    # x is otherwise dead and XLA deletes the non-final chunks' last-layer
+    # attention + MLP), and the final logits must be consumed WHOLE (an
+    # argmax of one row lets XLA narrow the row-separable lm_head/MLP tail
+    # to a single token).
+    @partial(jax.jit, static_argnames=("cfg",))
+    def chunked(params, cfg, t, caches):
+        tc = t.reshape(n_chunks, 1, CHUNK)
+
+        def body(cs, x):
+            ck, pl, wt = x
+            chk, cs = _chunk_prefill_body(params, cfg, ck, pl, wt, lane,
+                                          cs, with_logits=False)
+            return cs, chk
+
+        caches, chks = jax.lax.scan(
+            body, caches, (tc[:-1], plens[:-1], wts[:-1])
+        )
+        logits, caches = _chunk_prefill_body(
+            params, cfg, tc[-1], plens[-1], wts[-1], lane, caches,
+            with_logits=True, last_idx=jnp.int32(CHUNK - 1),
+        )
+        chk = jnp.sum(chks) + jnp.sum(logits)
+        return (t + chk.astype(jnp.int32)) % cfg.vocab
+
+    def chunked_step(t):
+        return chunked(params, cfg, t, cache0)
+
+    dt_chunk, _ = trace_device_busy(chunked_step, toks, n_iters=4)
+
+    fl = _prefill_flops(cfg, s)
+    print(f"model-level prefill, {s} tokens (dense one-shot vs "
+          f"chunked x{n_chunks} @ {CHUNK}):")
+    print(f"  dense   {dt_dense*1e3:7.2f} ms  ({s/dt_dense:,.0f} tok/s, "
+          f"{fl/dt_dense/peak*100:.1f}% of chip peak)")
+    print(f"  chunked {dt_chunk*1e3:7.2f} ms  ({s/dt_chunk:,.0f} tok/s, "
+          f"{fl/dt_chunk/peak*100:.1f}% of chip peak; overhead "
+          f"{(dt_chunk/dt_dense-1)*100:+.1f}% = per-chunk page gathers)")
 
 
 def main():
@@ -98,6 +194,8 @@ def main():
     print(f"  roofline (KV {kv_bytes/1e9:.1f} GB + params "
           f"{params_bytes/1e9:.1f} GB @ 819 GB/s): {roof*1e6:.1f} us "
           f"({roof/dt*100:.1f}% of memory speed-of-light)")
+
+    bench_prefill(params, cfg)
 
 
 if __name__ == "__main__":

@@ -108,9 +108,17 @@ def _proj_qkv(cfg, layer, xn, b, s, tp=1):
 
 
 @partial(jax.jit, static_argnames=("cfg", "backend"))
-def _prefill_fn(params, cfg: ModelConfig, tokens, backend=None):
+def _prefill_fn(params, cfg: ModelConfig, tokens, last_idx=None,
+                backend=None):
     """Dense causal forward over ONE padded prompt (1, Sp). Returns
-    (logits (1, Sp, vocab) f32, ks, vs: per-layer (1, Hkv, Sp, hd))."""
+    (logits, ks, vs: per-layer (1, Hkv, Sp, hd)).
+
+    last_idx (traced int32 scalar or None): a prefill only ever samples
+    from ONE position (the prompt's last real token), so when given, x is
+    sliced to that row BEFORE the lm_head — logits come back (1, 1,
+    vocab) and the (Sp, dim) x (dim, vocab) matmul (~9% of an 8k Llama-8B
+    prefill's FLOPs, plus a ~1 GB f32 logits write) collapses to one row.
+    None returns all positions (teacher forcing / scoring)."""
     b, s = tokens.shape
     positions = jnp.arange(s, dtype=jnp.int32)
     scale = cfg.head_dim**-0.5
@@ -129,20 +137,23 @@ def _prefill_fn(params, cfg: ModelConfig, tokens, backend=None):
         x = _mlp(x, layer)
         ks.append(k)
         vs.append(v)
+    if last_idx is not None:
+        x = jax.lax.dynamic_slice_in_dim(x, last_idx, 1, axis=1)
     x = _rmsnorm(x, params["final_norm"])
     return (x @ params["lm_head"]).astype(jnp.float32), ks, vs
 
 
 @partial(jax.jit, static_argnames=("cfg", "backend"))
 def _prefix_prefill_fn(params, cfg: ModelConfig, tokens, prefix_ks,
-                       prefix_vs, backend=None):
+                       prefix_vs, last_idx=None, backend=None):
     """Suffix-only prefill: dense causal forward over the padded SUFFIX
     (1, S) of a prompt whose first P tokens' K/V are already cached
     (prefix_ks/vs: per-layer (1, Hkv, P, D) gathered from shared pages).
     Suffix queries attend [prefix ++ suffix] with a causal offset of P —
     the compute saved vs _prefill_fn is the whole prefix forward, the
-    point of prefix caching. Returns (logits (1, S, vocab), suffix ks,
-    vs) — only the suffix K/V need writing to pages."""
+    point of prefix caching. Returns (logits (1, S, vocab) — or (1, 1,
+    vocab) for the given last_idx row, see _prefill_fn — and the suffix
+    ks, vs: only the suffix K/V need writing to pages."""
     b, s = tokens.shape
     p_len = prefix_ks[0].shape[2]
     positions = p_len + jnp.arange(s, dtype=jnp.int32)
@@ -165,6 +176,8 @@ def _prefix_prefill_fn(params, cfg: ModelConfig, tokens, prefix_ks,
         x = _mlp(x, layer)
         ks.append(k)
         vs.append(v)
+    if last_idx is not None:
+        x = jax.lax.dynamic_slice_in_dim(x, last_idx, 1, axis=1)
     x = _rmsnorm(x, params["final_norm"])
     return (x @ params["lm_head"]).astype(jnp.float32), ks, vs
 
@@ -188,7 +201,7 @@ def _prefill_write_fn(caches, ks, vs, lane_table):
 
 def _chunk_prefill_body(params, cfg: ModelConfig, tokens, p_len,
                         write_table, lane_table, caches, with_logits=True,
-                        backend=None):
+                        backend=None, last_idx=None):
     """One CHUNK of a chunked prefill: forward `tokens` (1, C) — the
     prompt's tokens at positions [p_len, p_len + C) — writing each
     layer's chunk K/V into the lane's pages and attending over ALL of the
@@ -240,7 +253,14 @@ def _chunk_prefill_body(params, cfg: ModelConfig, tokens, p_len,
         x = _mlp(x, layer)
         new_caches.append(cache)
     if not with_logits:
-        return None, new_caches
+        # benchmark DCE guard: x is otherwise dead without logits (each
+        # chunk re-embeds; only the page writes carry forward), which
+        # would let XLA delete every non-final chunk's last-layer
+        # attention + MLP — return its full-reduction checksum instead
+        return jnp.sum(x.astype(jnp.float32)), new_caches
+    if last_idx is not None:
+        # only one row is ever sampled (see _prefill_fn)
+        x = jax.lax.dynamic_slice_in_dim(x, last_idx, 1, axis=1)
     x = _rmsnorm(x, params["final_norm"])
     return (x @ params["lm_head"]).astype(jnp.float32), new_caches
 
@@ -500,24 +520,23 @@ class ServingEngine:
                 padded = jnp.asarray(np.pad(suf, (0, pad))[None], jnp.int32)
                 logits, ks, vs = _prefix_prefill_fn(
                     self.params, self.cfg, padded, tuple(pks), tuple(pvs),
-                    backend=self.backend,
+                    jnp.int32(len(suf) - 1), backend=self.backend,
                 )
                 self.caches = _prefill_write_fn(
                     self.caches, ks, vs,
                     jnp.asarray(table[n_shared:], jnp.int32),
                 )
-                self._record(
-                    r, self._sample(r.req_id, logits[0, len(suf) - 1])
-                )
+                self._record(r, self._sample(r.req_id, logits[0, 0]))
             else:
                 pad = -plen % ps
                 padded = jnp.asarray(np.pad(toks, (0, pad))[None], jnp.int32)
                 logits, ks, vs = _prefill_fn(self.params, self.cfg, padded,
+                                             jnp.int32(plen - 1),
                                              backend=self.backend)
                 self.caches = _prefill_write_fn(
                     self.caches, ks, vs, jnp.asarray(table, jnp.int32)
                 )
-                self._record(r, self._sample(r.req_id, logits[0, plen - 1]))
+                self._record(r, self._sample(r.req_id, logits[0, 0]))
 
         # advance chunked prefills: one chunk per request per step
         for req_id in list(self._prefilling):
@@ -539,17 +558,18 @@ class ServingEngine:
             lane_table = np.zeros((self.caches[0].block_tables.shape[1],),
                                   np.int32)
             lane_table[:len(pages)] = pages
+            idx = (st["plen"] - st["p0"] - 1) - j * c
             logits, self.caches = _chunk_prefill_fn(
                 self.params, self.cfg, jnp.asarray(chunk[None]),
                 jnp.int32(p_len), jnp.asarray(wt), jnp.asarray(lane_table),
                 self.caches, with_logits=last, backend=self.backend,
+                last_idx=jnp.int32(idx) if last else None,
             )
             st["next"] += 1
             if last:
                 del self._prefilling[req_id]
-                idx = (st["plen"] - st["p0"] - 1) - j * c
                 self._record(
-                    r, self._sample(req_id, np.asarray(logits)[0, idx])
+                    r, self._sample(req_id, np.asarray(logits)[0, 0])
                 )
 
         return plan.finished
