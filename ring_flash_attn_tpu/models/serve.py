@@ -340,15 +340,41 @@ class ServingEngine:
 
     def __init__(self, params, cfg: ModelConfig, num_pages, page_size,
                  pages_per_seq, max_batch, reserve=1, backend=None,
-                 allocator=None, prefill_chunk=None):
+                 allocator=None, prefill_chunk=None, mesh=None):
         """prefill_chunk: if set (a page_size multiple), prompts prefill
         CHUNK tokens per engine step through `_chunk_prefill_body` —
         static shapes (two compiles total, vs one per padded prompt
         length for the dense path) and decode steps interleave with long
         prefills instead of waiting behind them. None = dense one-shot
-        prefill (the default; bit-identical outputs either way)."""
+        prefill (the default; bit-identical outputs either way).
+
+        mesh: a jax.sharding.Mesh with a "tp" axis — the whole engine
+        then runs tensor-parallel via GSPMD sharding propagation: params
+        are placed per `transformer.param_specs` (megatron column/row
+        sharding) and the page pools shard on the KV-head axis, so every
+        jitted step (prefill, chunked prefill, decode, page writes) is
+        partitioned automatically with no model-code changes. This is
+        the jit-native complement to the explicit shard_map TP decode
+        step (`_decode_body(tp_axis=...)`, tests/test_serve_tp.py);
+        outputs match the unsharded engine up to tp-reduction
+        ordering."""
         self.params = params
         self.cfg = cfg
+        if mesh is not None:
+            from jax.sharding import NamedSharding, PartitionSpec as P
+
+            from .transformer import param_specs
+
+            assert cfg.kv_heads % mesh.shape["tp"] == 0, (
+                cfg.kv_heads, dict(mesh.shape))
+            ns = lambda spec: NamedSharding(mesh, spec)  # noqa: E731
+            self.params = jax.tree.map(
+                lambda x, s: jax.device_put(x, ns(s)), params,
+                param_specs(cfg, "tp"),
+            )
+            self._page_sharding = ns(P(None, "tp", None, None))
+        else:
+            self._page_sharding = None
         self.backend = backend
         self.alloc = allocator or PageAllocator(num_pages, page_size)
         self.sched = DecodeScheduler(self.alloc, pages_per_seq, max_batch,
@@ -367,6 +393,14 @@ class ServingEngine:
             )
             for _ in params["layers"]
         ]
+        if self._page_sharding is not None:
+            self.caches = [
+                c._replace(
+                    k_pages=jax.device_put(c.k_pages, self._page_sharding),
+                    v_pages=jax.device_put(c.v_pages, self._page_sharding),
+                )
+                for c in self.caches
+            ]
         self._prompts = {}
         self._pending = {}  # req_id -> next token (int) awaiting decode
         self._prefilling = {}  # req_id -> chunked-prefill progress dict

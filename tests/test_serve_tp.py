@@ -126,3 +126,55 @@ def test_tp_decode_multi_step_greedy_chain(tp=2):
         np.testing.assert_array_equal(np.asarray(nxt_ref),
                                       np.asarray(nxt_tp))
         tok_ref, tok_tp = nxt_ref, nxt_tp
+
+
+def test_engine_on_tp_mesh_matches_plain():
+    """The full ServingEngine on a 2-way tp mesh (GSPMD propagation:
+    sharded params + KV-head-sharded page pools, unmodified step code)
+    must reproduce the plain engine's tokens — admissions, chunked
+    prefill, prefix caching, decode, and retirement all run sharded."""
+    from ring_flash_attn_tpu.models.serve import ServingEngine
+
+    params = init_params(jax.random.PRNGKey(5), CFG)
+    rng = np.random.default_rng(43)
+    common = rng.integers(0, CFG.vocab, size=17).astype(np.int32)
+    prompts = {
+        0: rng.integers(0, CFG.vocab, size=11).astype(np.int32),
+        1: np.concatenate([common, rng.integers(0, CFG.vocab, 4)]).astype(
+            np.int32),
+        2: np.concatenate([common, rng.integers(0, CFG.vocab, 6)]).astype(
+            np.int32),
+        3: rng.integers(0, CFG.vocab, size=26).astype(np.int32),
+    }
+
+    def run(mesh):
+        eng = ServingEngine(params, CFG, num_pages=32, page_size=8,
+                            pages_per_seq=6, max_batch=2, reserve=1,
+                            prefill_chunk=16, mesh=mesh)
+        eng.submit(0, prompts[0], 4)
+        eng.submit(1, prompts[1], 3)
+        eng.submit(2, prompts[2], 3, prefix_of=1)
+        eng.submit(3, prompts[3], 2)
+        return eng.run(max_steps=120)
+
+    mesh = Mesh(np.array(jax.devices()[:2]), ("tp",))
+    plain, sharded = run(None), run(mesh)
+    assert plain == sharded, (plain, sharded)
+    for rid in prompts:
+        assert plain[rid] == _dense_oracle(params, prompts[rid],
+                                           len(plain[rid]))
+
+
+def _dense_oracle(params, prompt, n_new):
+    from ring_flash_attn_tpu.models.transformer import forward
+
+    toks = list(np.asarray(prompt, np.int32))
+    out = []
+    for _ in range(n_new):
+        t = jnp.asarray(toks, jnp.int32)[None]
+        logits = forward(params, CFG, t,
+                         jnp.arange(len(toks), dtype=jnp.int32))
+        nxt = int(jnp.argmax(logits[0, -1]))
+        out.append(nxt)
+        toks.append(nxt)
+    return out
