@@ -33,7 +33,7 @@ import numpy as np
 
 from ..ops import paged
 from ..ops.flash import flash_attention
-from ..ops.mask import MaskArgs
+from ..ops.mask import NEG_INF, MaskArgs
 from ..serving import PageAllocator
 from ..serving.scheduler import DecodeScheduler
 from .transformer import ModelConfig, _mlp, _rmsnorm, _rope
@@ -326,6 +326,104 @@ _decode_fn = partial(
 )(_decode_body)
 
 
+def _rope_rows(x, positions, theta):
+    """x (B, H, K, D), positions (B, K) int32 — per-lane, per-row decode
+    positions (the multi-token generalization of _rope_batch)."""
+    b, h, kk, d = x.shape
+    half = d // 2
+    freqs = theta ** (-jnp.arange(0, half, dtype=jnp.float32) / half)
+    angles = positions.astype(jnp.float32)[:, :, None] * freqs  # (B,K,half)
+    cos = jnp.cos(angles)[:, None]  # (B, 1, K, half)
+    sin = jnp.sin(angles)[:, None]
+    x1, x2 = x[..., :half], x[..., half:]
+    xf1, xf2 = x1.astype(jnp.float32), x2.astype(jnp.float32)
+    return jnp.concatenate(
+        [xf1 * cos - xf2 * sin, xf2 * cos + xf1 * sin], axis=-1
+    ).astype(x.dtype)
+
+
+def _spec_verify_body(params, cfg: ModelConfig, tokens, n_valid, caches):
+    """Speculative-decoding verification: one forward over K candidate
+    tokens per lane — tokens[:, 0] is each lane's pending token, tokens
+    [:, 1:] are draft proposals (prompt-lookup n-grams, host-side).
+    Decode is bandwidth-bound, so verifying K tokens reads the weights
+    and KV once — the same traffic as ONE decode step — which is the
+    entire speedup of speculation.
+
+    tokens (B, K) int32; n_valid (B,) int32 in [0, K] (0 = idle lane;
+    rows past n_valid are padding); caches' seq_lens are the REWOUND
+    lengths. All K candidate K/V are appended (positions lens..lens+K-1
+    — the caller guarantees those slots sit in already-allocated pages
+    and rewinds the allocator to the accepted count; stale slots are
+    overwritten by later appends at the same positions). Attention runs
+    dense-gathered with a per-lane causal bound (row i attends kv index
+    j <= lens[b] + i) — an XLA path; a multi-query paged kernel is the
+    optimization path if speculation ever shows up kernel-bound.
+    Returns (logits (B, K, vocab) f32, caches with seq_lens advanced by
+    n_valid)."""
+    b, kk = tokens.shape
+    scale = cfg.head_dim**-0.5
+    lens0 = caches[0].seq_lens  # (B,) pre-append lengths
+    positions = lens0[:, None] + jnp.arange(kk, dtype=jnp.int32)[None]
+    x = params["embed"][tokens]  # (B, K, d)
+    row_ids = jnp.arange(kk, dtype=jnp.int32)[None]  # (1, K)
+    valid = row_ids < n_valid[:, None]  # (B, K)
+    new_caches = []
+    for layer, cache in zip(params["layers"], caches):
+        xn = _rmsnorm(x, layer["attn_norm"])
+        q, k, v = _proj_qkv(cfg, layer, xn, b, kk)
+        q = _rope_rows(q, positions, cfg.rope_theta)
+        k = _rope_rows(k, positions, cfg.rope_theta)
+        for i in range(kk):
+            cache = paged.paged_append(
+                cache, k[:, :, i:i + 1], v[:, :, i:i + 1],
+                mask=valid[:, i],
+            )
+        kd, vd = paged.paged_gather_dense(cache)  # (B, Hkv, CAP, D)
+        hq, hkv = q.shape[1], kd.shape[1]
+        g = hq // hkv
+        qf = q.astype(jnp.float32).reshape(b, hkv, g, kk, cfg.head_dim)
+        s = jnp.einsum("bhgkd,bhjd->bhgkj", qf,
+                       kd.astype(jnp.float32)) * scale
+        j_ids = jnp.arange(kd.shape[2], dtype=jnp.int32)
+        bound = lens0[:, None] + row_ids  # (B, K): row i sees j <= lens+i
+        mask = j_ids[None, None] <= bound[:, :, None]  # (B, K, CAP)
+        s = jnp.where(mask[:, None, None], s, NEG_INF)
+        p = jax.nn.softmax(s, axis=-1)
+        out = jnp.einsum("bhgkj,bhjd->bhgkd", p, vd.astype(jnp.float32))
+        out = out.reshape(b, hq, kk, cfg.head_dim)
+        out = out.astype(x.dtype).transpose(0, 2, 1, 3).reshape(b, kk, -1)
+        x = x + out @ layer["wo"]
+        x = _mlp(x, layer)
+        new_caches.append(cache)
+    x = _rmsnorm(x, params["final_norm"])
+    return (x @ params["lm_head"]).astype(jnp.float32), new_caches
+
+
+_spec_verify_fn = partial(
+    jax.jit, static_argnames=("cfg",), donate_argnums=(4,),
+)(_spec_verify_body)
+
+
+def _prompt_lookup(context, k_draft, max_ngram=3):
+    """Prompt-lookup decoding proposals (assisted generation without a
+    draft model): find the most recent earlier occurrence of the
+    context's final n-gram (longest n first) and propose the tokens that
+    followed it. Returns an np array of up to k_draft proposals (may be
+    empty)."""
+    ctx = np.asarray(context, np.int32)
+    t = len(ctx)
+    for n in range(min(max_ngram, t - 1), 0, -1):
+        tail = ctx[t - n:]
+        # most recent match strictly before the final n-gram itself
+        for start in range(t - n - 1, -1, -1):
+            if np.array_equal(ctx[start:start + n], tail):
+                fol = ctx[start + n:start + n + k_draft]
+                if len(fol):
+                    return fol
+    return np.zeros((0,), np.int32)
+
+
 class ServingEngine:
     """Continuous-batching greedy-decoding server for the flagship model.
 
@@ -340,7 +438,8 @@ class ServingEngine:
 
     def __init__(self, params, cfg: ModelConfig, num_pages, page_size,
                  pages_per_seq, max_batch, reserve=1, backend=None,
-                 allocator=None, prefill_chunk=None, mesh=None):
+                 allocator=None, prefill_chunk=None, mesh=None,
+                 speculate_k=None):
         """prefill_chunk: if set (a page_size multiple), prompts prefill
         CHUNK tokens per engine step through `_chunk_prefill_body` —
         static shapes (two compiles total, vs one per padded prompt
@@ -357,9 +456,20 @@ class ServingEngine:
         the jit-native complement to the explicit shard_map TP decode
         step (`_decode_body(tp_axis=...)`, tests/test_serve_tp.py);
         outputs match the unsharded engine up to tp-reduction
-        ordering."""
+        ordering.
+
+        speculate_k: if > 1, decode steps run SPECULATIVELY for greedy
+        (temperature=0) requests: up to k-1 draft tokens proposed by
+        prompt-lookup (the request's own context, no draft model) are
+        verified alongside the pending token in ONE forward
+        (`_spec_verify_body`) — bandwidth-bound decode reads weights+KV
+        once either way, so every accepted draft is a free extra token.
+        Exactly greedy-equivalent by construction (the acid test in
+        tests/test_serve_spec.py); sampled (temperature>0) requests fall
+        back to one token per step."""
         self.params = params
         self.cfg = cfg
+        self.speculate_k = speculate_k
         if mesh is not None:
             from jax.sharding import NamedSharding, PartitionSpec as P
 
@@ -467,6 +577,53 @@ class ServingEngine:
         sp, rng = self._sampling[req_id]
         return sp.sample(np.asarray(logits), rng)
 
+    def _spec_decode(self, dec, plan):
+        """One speculative decode step for the pending lanes: propose,
+        verify in one forward, accept the longest agreeing prefix."""
+        kk = self.speculate_k
+        ps = self.caches[0].page_size
+        tokens = np.zeros((self.max_batch, kk), np.int32)
+        n_valid = np.zeros((self.max_batch,), np.int32)
+        for r in dec:
+            tokens[r.lane, 0] = self._pending[r.req_id]
+            # the pending token is the last element of outputs, so the
+            # lookup context is exactly everything decoded so far
+            ctx = np.concatenate([
+                self._prompts[r.req_id],
+                np.asarray(self.outputs[r.req_id], np.int32),
+            ])
+            sp, _ = self._sampling[r.req_id]
+            props = (_prompt_lookup(ctx, kk - 1)
+                     if sp.temperature <= 0.0 else np.zeros(0, np.int32))
+            # candidate K/V land at positions L-1 .. L-1+n-1; they must
+            # stay inside the allocator's already-reserved pages (the
+            # padded block-table tail aliases a live page), and the new
+            # tokens must fit the request's remaining budget
+            length = int(plan.seq_lens[r.lane])  # includes the pending
+            max_pages = -(-length // ps) * ps - (length - 1)
+            budget = r.max_new_tokens - r.generated
+            n = max(1, min(kk, 1 + len(props), max_pages, budget))
+            tokens[r.lane, 1:n] = props[:n - 1]
+            n_valid[r.lane] = n
+        logits, self.caches = _spec_verify_fn(
+            self.params, self.cfg, jnp.asarray(tokens),
+            jnp.asarray(n_valid), self.caches,
+        )
+        logits = np.asarray(logits)
+        for r in dec:
+            n = int(n_valid[r.lane])
+            accepted = []
+            for i in range(n):
+                g = self._sample(r.req_id, logits[r.lane, i])
+                accepted.append(g)
+                # row i+1's context is valid only if draft i+1 matched
+                if i + 1 < n and tokens[r.lane, i + 1] != g:
+                    break
+            for tok in accepted:
+                if r.done:
+                    break  # capacity truncation mid-acceptance
+                self._record(r, tok)
+
     def _record(self, r, tok):
         self.outputs[r.req_id].append(tok)
         done = r.generated + 1 >= r.max_new_tokens
@@ -504,7 +661,9 @@ class ServingEngine:
                        seq_lens=jnp.asarray(lens, jnp.int32))
             for c in self.caches
         ]
-        if dec:
+        if dec and self.speculate_k and self.speculate_k > 1:
+            self._spec_decode(dec, plan)
+        elif dec:
             logits, self.caches = _decode_fn(
                 self.params, self.cfg, jnp.asarray(tokens),
                 jnp.asarray(live), self.caches, backend=self.backend,
