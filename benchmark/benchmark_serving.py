@@ -139,6 +139,53 @@ def bench_prefill(params, cfg, peak=197e12):
           f"{(dt_chunk/dt_dense-1)*100:+.1f}% = per-chunk page gathers)")
 
 
+def bench_spec_verify(params, cfg, caches):
+    """Speculative-decoding verify step (K candidates, multi-query paged
+    kernel) vs the plain decode step. Decode is bandwidth-bound, so both
+    should cost ~the same — every accepted draft is then a free token."""
+    from ring_flash_attn_tpu.models.serve import _spec_verify_body
+
+    K = 4
+    live = jnp.ones((B,), bool)
+
+    @partial(jax.jit, static_argnames=("cfg",))
+    def plain_scan(params, cfg, toks, caches):
+        def body(t, _):
+            lg, _ = _decode_body(params, cfg, t, live, caches,
+                                 append=False)
+            return jnp.argmax(lg, -1).astype(jnp.int32), None
+
+        out, _ = jax.lax.scan(body, toks, None, length=N_INNER)
+        return out
+
+    @partial(jax.jit, static_argnames=("cfg",))
+    def spec_scan(params, cfg, toks, caches):
+        nv = jnp.full((B,), K, jnp.int32)
+
+        def body(t, _):
+            lg, _ = _spec_verify_body(params, cfg, t, nv, caches,
+                                      append=False)
+            return jnp.argmax(lg, -1).astype(jnp.int32), None
+
+        out, _ = jax.lax.scan(body, toks, None, length=N_INNER)
+        return out
+
+    t1 = jnp.arange(B, dtype=jnp.int32)
+    tk = jnp.tile(jnp.arange(K, dtype=jnp.int32)[None], (B, 1))
+    d_plain, _ = trace_device_busy(
+        lambda t: plain_scan(params, cfg, t, caches), t1)
+    d_spec, _ = trace_device_busy(
+        lambda t: spec_scan(params, cfg, t, caches), tk)
+    d_plain /= N_INNER
+    d_spec /= N_INNER
+    print(f"speculative verify step (K={K} candidates/lane, multi-query "
+          f"paged kernel):")
+    print(f"  plain decode {d_plain*1e6:7.1f} us -> 1 token/lane;  "
+          f"verify {d_spec*1e6:7.1f} us -> up to {K} "
+          f"({d_spec/d_plain:.2f}x cost, breakeven at "
+          f"{d_spec/d_plain:.2f} accepted tokens/step)")
+
+
 def main():
     cfg = ModelConfig(vocab=32000, dim=4096, layers=4, heads=32, kv_heads=8,
                       head_dim=128, mlp_dim=14336, dtype="bfloat16")
@@ -195,6 +242,7 @@ def main():
           f"{params_bytes/1e9:.1f} GB @ 819 GB/s): {roof*1e6:.1f} us "
           f"({roof/dt*100:.1f}% of memory speed-of-light)")
 
+    bench_spec_verify(params, cfg, caches)
     bench_prefill(params, cfg)
 
 

@@ -33,7 +33,7 @@ import numpy as np
 
 from ..ops import paged
 from ..ops.flash import flash_attention
-from ..ops.mask import NEG_INF, MaskArgs
+from ..ops.mask import MaskArgs
 from ..serving import PageAllocator
 from ..serving.scheduler import DecodeScheduler
 from .transformer import ModelConfig, _mlp, _rmsnorm, _rope
@@ -342,7 +342,8 @@ def _rope_rows(x, positions, theta):
     ).astype(x.dtype)
 
 
-def _spec_verify_body(params, cfg: ModelConfig, tokens, n_valid, caches):
+def _spec_verify_body(params, cfg: ModelConfig, tokens, n_valid, caches,
+                      backend=None, append=True):
     """Speculative-decoding verification: one forward over K candidate
     tokens per lane — tokens[:, 0] is each lane's pending token, tokens
     [:, 1:] are draft proposals (prompt-lookup n-grams, host-side).
@@ -355,12 +356,13 @@ def _spec_verify_body(params, cfg: ModelConfig, tokens, n_valid, caches):
     lengths. All K candidate K/V are appended (positions lens..lens+K-1
     — the caller guarantees those slots sit in already-allocated pages
     and rewinds the allocator to the accepted count; stale slots are
-    overwritten by later appends at the same positions). Attention runs
-    dense-gathered with a per-lane causal bound (row i attends kv index
-    j <= lens[b] + i) — an XLA path; a multi-query paged kernel is the
-    optimization path if speculation ever shows up kernel-bound.
-    Returns (logits (B, K, vocab) f32, caches with seq_lens advanced by
-    n_valid)."""
+    overwritten by later appends at the same positions). Attention is
+    the MULTI-QUERY paged decode kernel (paged_decode_attention with
+    new_counts=: row i attends kv index j <= lens[b] + i), so the verify
+    step streams the page pool once exactly like a plain decode step —
+    an earlier dense-gather XLA formulation tripled the KV traffic and
+    cost 3.35x a plain step; the kernel path is ~1.1x. Returns (logits
+    (B, K, vocab) f32, caches with seq_lens advanced by n_valid)."""
     b, kk = tokens.shape
     scale = cfg.head_dim**-0.5
     lens0 = caches[0].seq_lens  # (B,) pre-append lengths
@@ -374,24 +376,19 @@ def _spec_verify_body(params, cfg: ModelConfig, tokens, n_valid, caches):
         q, k, v = _proj_qkv(cfg, layer, xn, b, kk)
         q = _rope_rows(q, positions, cfg.rope_theta)
         k = _rope_rows(k, positions, cfg.rope_theta)
-        for i in range(kk):
-            cache = paged.paged_append(
-                cache, k[:, :, i:i + 1], v[:, :, i:i + 1],
-                mask=valid[:, i],
-            )
-        kd, vd = paged.paged_gather_dense(cache)  # (B, Hkv, CAP, D)
-        hq, hkv = q.shape[1], kd.shape[1]
-        g = hq // hkv
-        qf = q.astype(jnp.float32).reshape(b, hkv, g, kk, cfg.head_dim)
-        s = jnp.einsum("bhgkd,bhjd->bhgkj", qf,
-                       kd.astype(jnp.float32)) * scale
-        j_ids = jnp.arange(kd.shape[2], dtype=jnp.int32)
-        bound = lens0[:, None] + row_ids  # (B, K): row i sees j <= lens+i
-        mask = j_ids[None, None] <= bound[:, :, None]  # (B, K, CAP)
-        s = jnp.where(mask[:, None, None], s, NEG_INF)
-        p = jax.nn.softmax(s, axis=-1)
-        out = jnp.einsum("bhgkj,bhjd->bhgkd", p, vd.astype(jnp.float32))
-        out = out.reshape(b, hq, kk, cfg.head_dim)
+        # append=False: read-path benchmarking only, exactly as
+        # _decode_body (un-donated appends copy the page pools; the
+        # engine's donated call appends in place). The candidates then
+        # don't attend themselves/each other.
+        if append:
+            for i in range(kk):
+                cache = paged.paged_append(
+                    cache, k[:, :, i:i + 1], v[:, :, i:i + 1],
+                    mask=valid[:, i],
+                )
+        out, _ = paged.paged_decode_attention(
+            q, cache, scale, backend=backend, new_counts=n_valid,
+        )
         out = out.astype(x.dtype).transpose(0, 2, 1, 3).reshape(b, kk, -1)
         x = x + out @ layer["wo"]
         x = _mlp(x, layer)
@@ -401,7 +398,8 @@ def _spec_verify_body(params, cfg: ModelConfig, tokens, n_valid, caches):
 
 
 _spec_verify_fn = partial(
-    jax.jit, static_argnames=("cfg",), donate_argnums=(4,),
+    jax.jit, static_argnames=("cfg", "backend", "append"),
+    donate_argnums=(4,),
 )(_spec_verify_body)
 
 
@@ -607,7 +605,7 @@ class ServingEngine:
             n_valid[r.lane] = n
         logits, self.caches = _spec_verify_fn(
             self.params, self.cfg, jnp.asarray(tokens),
-            jnp.asarray(n_valid), self.caches,
+            jnp.asarray(n_valid), self.caches, backend=self.backend,
         )
         logits = np.asarray(logits)
         for r in dec:

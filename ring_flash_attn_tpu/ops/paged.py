@@ -178,10 +178,19 @@ def paged_gather_dense(cache: PagedKVCache):
 
 
 def paged_decode_attention(q, cache: PagedKVCache, scale, softcap=None,
-                           backend=None):
+                           backend=None, new_counts=None):
     """Decode attention of q (B, Hq, Tq, D) against the paged cache.
 
-    Causal within the new tokens is not applied (decode Tq is typically 1).
+    new_counts (B,) int32 (optional): row-causal bounds for MULTI-QUERY
+    decode (speculative-decoding verification): the cache's last
+    new_counts[b] positions belong to q's Tq rows, and row t attends
+    only kv index j < seq_lens[b] - (new_counts[b] - 1 - t) — i.e. the
+    context up to and including its own token. None (the default)
+    applies no causality within the new tokens (plain decode, Tq
+    typically 1). Rows t >= new_counts[b] are padding (they see the full
+    context — garbage, callers discard); dead lanes stay keyed off
+    seq_lens == 0 (out=0, lse=NEG_INF) exactly as without new_counts.
+
     Returns fp32 (out (B, Hq, Tq, D), lse (B, Hq, Tq)) partials for
     cross-shard merging. backend: None/"pallas" (default on TPU),
     "pallas_interpret", "xla"."""
@@ -189,14 +198,14 @@ def paged_decode_attention(q, cache: PagedKVCache, scale, softcap=None,
 
     resolved = get_backend(backend)
     if resolved == "xla":
-        return _xla_paged_decode(q, cache, scale, softcap)
+        return _xla_paged_decode(q, cache, scale, softcap, new_counts)
     return _pallas_paged_decode(
-        q, cache, scale, softcap,
+        q, cache, scale, softcap, new_counts,
         interpret=(resolved == "pallas_interpret"),
     )
 
 
-def _xla_paged_decode(q, cache, scale, softcap):
+def _xla_paged_decode(q, cache, scale, softcap, new_counts=None):
     b, hq, tq, d = q.shape
     hkv = cache.k_pages.shape[1]
     g = hq // hkv
@@ -208,10 +217,17 @@ def _xla_paged_decode(q, cache, scale, softcap):
     ) * scale
     if softcap:
         logits = softcap * jnp.tanh(logits / softcap)
+    # per-row causal bound; rows are (g major, tq minor) so t = row % tq
+    t_idx = jnp.arange(g * tq, dtype=jnp.int32) % tq  # (g*tq,)
+    counts = (jnp.ones((b,), jnp.int32) if new_counts is None
+              else jnp.asarray(new_counts, jnp.int32))
+    bound = cache.seq_lens[:, None] - jnp.maximum(
+        0, counts[:, None] - 1 - t_idx[None]
+    )  # (B, g*tq)
     valid = (
-        jnp.arange(s_tot, dtype=jnp.int32)[None, None, None, :]
-        < cache.seq_lens[:, None, None, None]
-    )
+        jnp.arange(s_tot, dtype=jnp.int32)[None, None, :]
+        < bound[:, :, None]
+    )[:, None]  # (B, 1, g*tq, s_tot)
     logits = jnp.where(valid, logits, NEG_INF)
     m = jnp.max(logits, axis=-1, keepdims=True)
     p = jnp.exp(logits - m)
@@ -233,10 +249,12 @@ def _xla_paged_decode(q, cache, scale, softcap):
 def _paged_kernel(
     bt_ref,  # (B * npages,) int32 scalar prefetch: block tables
     len_ref,  # (B,) int32 scalar prefetch: seq lens
+    cnt_ref,  # (B,) int32 scalar prefetch: new-token counts (row causal)
     *refs,  # q, k_0..k_{F-1}, v_0..v_{F-1}, out, lse, m_s, l_s, acc_s
     softcap,
     hkv,
     rows,
+    tq,
     page_size,
     npages,
     fanout,
@@ -272,9 +290,8 @@ def _paged_kernel(
     # (which left the r3 int8 paged kernel at 26% of the HBM roofline; the
     # per-op issue overhead, not bandwidth, dominated). Pages past the
     # valid range revisit the last valid page (no DMA) and skip compute.
-    row_head = jax.lax.broadcasted_iota(
-        jnp.int32, (nrows, 1), 0
-    ) // rows
+    row_iota = jax.lax.broadcasted_iota(jnp.int32, (nrows, 1), 0)
+    row_head = row_iota // rows
     col_head = jax.lax.broadcasted_iota(
         jnp.int32, (1, hkv * page_size), 1
     ) // page_size
@@ -282,6 +299,11 @@ def _paged_kernel(
     col_pos = jax.lax.broadcasted_iota(
         jnp.int32, (1, hkv * page_size), 1
     ) % page_size
+    # multi-query row causality: rows are (g major, tq minor); row t's
+    # bound is seq_len - max(0, counts - 1 - t) (counts=1 or tq=1 gives
+    # the plain-decode bound seq_len for every row)
+    t_idx = (row_iota % rows) % tq
+    row_bound = seq_len - jnp.maximum(0, cnt_ref[b_id] - 1 - t_idx)
 
     for f in range(fanout):
         page = i * fanout + f
@@ -296,7 +318,7 @@ def _paged_kernel(
             )  # (Hkv*rows, Hkv*ps), natural units (scale folded into q)
             if softcap:
                 s = softcap * jnp.tanh(s * (1.0 / softcap))
-            live = head_match & (page * page_size + col_pos < seq_len)
+            live = head_match & (page * page_size + col_pos < row_bound)
             s = jnp.where(live, s, NEG_INF)
             m_prev = m_s[:, :1]
             m_new = jnp.maximum(m_prev, jnp.max(s, axis=1, keepdims=True))
@@ -326,8 +348,8 @@ def _paged_kernel(
         )
 
 
-def _pallas_paged_decode(q, cache, scale, softcap, interpret=False,
-                         pages_per_step=None):
+def _pallas_paged_decode(q, cache, scale, softcap, new_counts=None,
+                         interpret=False, pages_per_step=None):
     b, hq, tq, d = q.shape
     num_pages, hkv, ps, _ = cache.k_pages.shape
     g = hq // hkv
@@ -344,12 +366,14 @@ def _pallas_paged_decode(q, cache, scale, softcap, interpret=False,
     qf = (q.astype(jnp.float32) * scale).reshape(b, hkv * rows, d)
     bt = cache.block_tables.reshape(-1)
     lens = jnp.asarray(cache.seq_lens, jnp.int32)
+    counts = (jnp.ones((b,), jnp.int32) if new_counts is None
+              else jnp.asarray(new_counts, jnp.int32))
     # (P, hkv, ps, d) -> (P, hkv*ps, d) is a contiguous collapse (free
     # bitcast); the kernel sees each page as one flat all-heads matrix
     k_flat = cache.k_pages.reshape(num_pages, hkv * ps, d)
     v_flat = cache.v_pages.reshape(num_pages, hkv * ps, d)
 
-    def q_index(bi, i, bt_ref, len_ref):
+    def q_index(bi, i, bt_ref, len_ref, cnt_ref):
         return (bi, 0, 0)
 
     # one (step, f) fetch = one page with ALL its KV heads (a single
@@ -357,7 +381,7 @@ def _pallas_paged_decode(q, cache, scale, softcap, interpret=False,
     # past the sequence's last valid page revisit it (no DMA re-issued);
     # their compute is skipped in-kernel.
     def page_index(f):
-        def idx(bi, i, bt_ref, len_ref):
+        def idx(bi, i, bt_ref, len_ref, cnt_ref):
             seq_len = len_ref[bi]
             valid = jnp.maximum((seq_len + ps - 1) // ps, 1)
             ii = jnp.minimum(i * f_n + f, valid - 1)
@@ -372,7 +396,7 @@ def _pallas_paged_decode(q, cache, scale, softcap, interpret=False,
     ]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(b, npages // f_n),
         in_specs=[
             pl.BlockSpec((1, hkv * rows, d), q_index,
@@ -395,7 +419,7 @@ def _pallas_paged_decode(q, cache, scale, softcap, interpret=False,
 
     out, lse = pl.pallas_call(
         functools.partial(
-            _paged_kernel, softcap=softcap, hkv=hkv, rows=rows,
+            _paged_kernel, softcap=softcap, hkv=hkv, rows=rows, tq=tq,
             page_size=ps, npages=npages, fanout=f_n,
         ),
         grid_spec=grid_spec,
@@ -409,7 +433,7 @@ def _pallas_paged_decode(q, cache, scale, softcap, interpret=False,
             vmem_limit_bytes=96 * 1024 * 1024,
         ),
         interpret=interpret,
-    )(bt, lens, qf, *([k_flat] * f_n), *([v_flat] * f_n))
+    )(bt, lens, counts, qf, *([k_flat] * f_n), *([v_flat] * f_n))
     return (
         out.reshape(b, hq, tq, d),
         lse.reshape(b, hq, tq),

@@ -234,3 +234,63 @@ def test_paged_decode_dead_row_backend_parity(filled):
     np.testing.assert_allclose(
         np.asarray(ox[1]), np.asarray(op[1]), atol=2e-3, rtol=2e-3
     )
+
+
+def test_multi_query_row_causal_counts():
+    """new_counts row causality (speculative verification): row t of a
+    Tq-query decode attends exactly the first seq_len-(counts-1-t)
+    positions. Pallas (interpret) and XLA agree with a hand-built dense
+    oracle, including a padding row and a plain (counts=None) call."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+    from ring_flash_attn_tpu.ops import paged
+
+    B, HKV, G, TQ, PS, PPS, D = 2, 2, 2, 3, 8, 4, 16
+    HQ = HKV * G
+    key = jax.random.PRNGKey(0)
+    cache = paged.paged_init(B, HKV, B * PPS, PS, PPS, D,
+                             dtype=jnp.float32)
+    S = PPS * PS
+    k = jax.random.normal(jax.random.PRNGKey(1), (B, HKV, S, D))
+    v = jax.random.normal(jax.random.PRNGKey(2), (B, HKV, S, D))
+    lens = jnp.asarray([19, 9], jnp.int32)  # incl. the TQ new tokens
+    cache = paged.paged_prefill(cache, k, v, lens)
+    q = jax.random.normal(key, (B, HQ, TQ, D))
+    counts = jnp.asarray([3, 2], jnp.int32)  # lane 1 has a padding row
+    scale = D**-0.5
+
+    out_p, lse_p = paged.paged_decode_attention(
+        q, cache, scale, backend="pallas_interpret", new_counts=counts)
+    out_x, lse_x = paged.paged_decode_attention(
+        q, cache, scale, backend="xla", new_counts=counts)
+
+    # dense oracle with explicit per-row bounds
+    for b in range(B):
+        for t in range(TQ):
+            bound = int(lens[b]) - max(0, int(counts[b]) - 1 - t)
+            for h in range(HQ):
+                kk = np.asarray(k[b, h // G, :bound])
+                vv = np.asarray(v[b, h // G, :bound])
+                s = kk @ np.asarray(q[b, h, t]) * scale
+                p = np.exp(s - s.max())
+                want = (p / p.sum()) @ vv
+                got_p = np.asarray(out_p[b, h, t])
+                got_x = np.asarray(out_x[b, h, t])
+                # kernel matmuls run bf16 on the MXU by design
+                np.testing.assert_allclose(got_p, want, atol=1e-2,
+                                           err_msg=f"pallas b{b} t{t}")
+                np.testing.assert_allclose(got_x, want, atol=1e-5,
+                                           err_msg=f"xla b{b} t{t}")
+                want_lse = s.max() + np.log(np.exp(s - s.max()).sum())
+                np.testing.assert_allclose(np.asarray(lse_p[b, h, t]),
+                                           want_lse, atol=1e-2)
+                np.testing.assert_allclose(np.asarray(lse_x[b, h, t]),
+                                           want_lse, atol=1e-5)
+
+    # counts=None on Tq>1 keeps the old no-row-causality semantics
+    out_n, _ = paged.paged_decode_attention(
+        q, cache, scale, backend="pallas_interpret")
+    out_nx, _ = paged.paged_decode_attention(q, cache, scale, backend="xla")
+    np.testing.assert_allclose(np.asarray(out_n), np.asarray(out_nx),
+                               atol=1e-2)
