@@ -25,7 +25,8 @@ import jax
 import numpy as np
 
 from ring_flash_attn_tpu.models import ModelConfig
-from ring_flash_attn_tpu.models.serve import ServingEngine
+from ring_flash_attn_tpu.models.serve import (SamplingParams,
+                                              ServingEngine)
 from ring_flash_attn_tpu.models.transformer import init_params
 
 
@@ -34,6 +35,12 @@ def main():
     ap.add_argument("--requests", type=int, default=8)
     ap.add_argument("--max-new", type=int, default=12)
     ap.add_argument("--seed", type=int, default=0)
+    ap.add_argument("--speculate", type=int, default=4,
+                    help="speculative decoding draft window (1 = off)")
+    ap.add_argument("--prefill-chunk", type=int, default=32,
+                    help="chunked-prefill chunk (0 = dense one-shot)")
+    ap.add_argument("--temperature", type=float, default=0.0,
+                    help="sampling temperature for odd request ids")
     args = ap.parse_args()
 
     cfg = ModelConfig(vocab=256, dim=128, layers=2, heads=8, kv_heads=4,
@@ -42,8 +49,12 @@ def main():
 
     # page pool sized so only ~2 requests fit at once: the rest queue and
     # are admitted as lanes retire (continuous batching, no draining)
-    eng = ServingEngine(params, cfg, num_pages=24, page_size=16,
-                        pages_per_seq=8, max_batch=4, reserve=1)
+    eng = ServingEngine(
+        params, cfg, num_pages=24, page_size=16, pages_per_seq=8,
+        max_batch=4, reserve=1,
+        speculate_k=args.speculate if args.speculate > 1 else None,
+        prefill_chunk=args.prefill_chunk or None,
+    )
 
     rng = np.random.default_rng(args.seed)
     lengths = rng.integers(8, 90, size=args.requests)
@@ -51,15 +62,18 @@ def main():
 
     t0 = time.time()
     steps = 0
-    submitted = 0
+    submitted = set()
     generated = 0
-    while submitted < args.requests or not eng.sched.idle:
+    while len(submitted) < args.requests or not eng.sched.idle:
         # stream submissions in while the engine is busy
         for rid in range(args.requests):
-            if submitted <= rid and arrivals[rid] <= steps:
+            if rid not in submitted and arrivals[rid] <= steps:
                 prompt = rng.integers(0, cfg.vocab, size=int(lengths[rid]))
-                eng.submit(rid, prompt, args.max_new)
-                submitted = rid + 1
+                sp = (SamplingParams(temperature=args.temperature,
+                                     top_k=40, seed=rid)
+                      if args.temperature > 0 and rid % 2 else None)
+                eng.submit(rid, prompt, args.max_new, sampling=sp)
+                submitted.add(rid)
                 print(f"step {steps:3d}: submitted request {rid} "
                       f"(prompt {lengths[rid]} tokens)")
         finished = eng.step()
@@ -71,8 +85,15 @@ def main():
                   f"{toks}")
         assert steps < 500, "did not converge"
     dt = time.time() - t0
+    st = eng.stats
     print(f"\nserved {args.requests} requests / {generated} tokens in "
           f"{steps} steps ({dt:.1f}s wall incl. compiles)")
+    print(f"engine stats: {st['decode_steps']} decode steps, "
+          f"{st['prefills']} prefills ({st['prefill_chunks']} chunks), "
+          f"{st['tokens']} tokens"
+          + (f"; speculation acceptance {eng.spec_acceptance_rate:.0%} "
+             f"({st['spec_accepted']}/{st['spec_proposed']} drafts)"
+             if st["spec_proposed"] else ""))
 
 
 if __name__ == "__main__":

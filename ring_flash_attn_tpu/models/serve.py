@@ -514,6 +514,20 @@ class ServingEngine:
         self._prefilling = {}  # req_id -> chunked-prefill progress dict
         self._sampling = {}  # req_id -> (SamplingParams, np Generator)
         self.outputs = {}
+        # operational counters (observability): tokens = every recorded
+        # token; spec_* track draft proposals vs acceptances — the
+        # acceptance rate is THE speculation health metric (the verify
+        # step costs ~1 plain step, so tokens/step ~= 1 + rate * (k-1))
+        self.stats = {
+            "steps": 0, "decode_steps": 0, "prefills": 0,
+            "prefill_chunks": 0, "tokens": 0,
+            "spec_proposed": 0, "spec_accepted": 0,
+        }
+
+    @property
+    def spec_acceptance_rate(self):
+        p = self.stats["spec_proposed"]
+        return self.stats["spec_accepted"] / p if p else 0.0
 
     def submit(self, req_id, prompt_tokens, max_new_tokens,
                prefix_of=None, sampling=None):
@@ -617,12 +631,15 @@ class ServingEngine:
                 # row i+1's context is valid only if draft i+1 matched
                 if i + 1 < n and tokens[r.lane, i + 1] != g:
                     break
+            self.stats["spec_proposed"] += n - 1
+            self.stats["spec_accepted"] += len(accepted) - 1
             for tok in accepted:
                 if r.done:
                     break  # capacity truncation mid-acceptance
                 self._record(r, tok)
 
     def _record(self, r, tok):
+        self.stats["tokens"] += 1
         self.outputs[r.req_id].append(tok)
         done = r.generated + 1 >= r.max_new_tokens
         self.sched.commit(r.req_id, done=done)
@@ -636,6 +653,7 @@ class ServingEngine:
         """One scheduler step: COW -> decode pending lanes -> prefill
         admissions. Returns the requests that finished this step."""
         plan = self.sched.begin_step()
+        self.stats["steps"] += 1
         if len(plan.cow[0]):
             self.caches = [
                 paged.copy_pages(c, plan.cow[0], plan.cow[1])
@@ -659,6 +677,8 @@ class ServingEngine:
                        seq_lens=jnp.asarray(lens, jnp.int32))
             for c in self.caches
         ]
+        if dec:
+            self.stats["decode_steps"] += 1
         if dec and self.speculate_k and self.speculate_k > 1:
             self._spec_decode(dec, plan)
         elif dec:
@@ -673,6 +693,7 @@ class ServingEngine:
         # prefill newly admitted prompts (their first token samples from
         # the prompt's last logit; its K/V appends on the next step)
         for r in plan.admitted:
+            self.stats["prefills"] += 1
             toks = self._prompts[r.req_id]
             plen = len(toks)
             ps = self.caches[0].page_size
@@ -731,6 +752,7 @@ class ServingEngine:
 
         # advance chunked prefills: one chunk per request per step
         for req_id in list(self._prefilling):
+            self.stats["prefill_chunks"] += 1
             st = self._prefilling[req_id]
             r = st["req"]
             c = self.prefill_chunk
