@@ -513,6 +513,7 @@ class ServingEngine:
         self._pending = {}  # req_id -> next token (int) awaiting decode
         self._prefilling = {}  # req_id -> chunked-prefill progress dict
         self._sampling = {}  # req_id -> (SamplingParams, np Generator)
+        self._eos = {}  # req_id -> frozenset of stop-token ids
         self.outputs = {}
         # operational counters (observability): tokens = every recorded
         # token; spec_* track draft proposals vs acceptances — the
@@ -530,17 +531,26 @@ class ServingEngine:
         return self.stats["spec_accepted"] / p if p else 0.0
 
     def submit(self, req_id, prompt_tokens, max_new_tokens,
-               prefix_of=None, sampling=None):
+               prefix_of=None, sampling=None, eos_token_id=None):
         """Queue a request. prefix_of: a previously submitted request id
         whose prompt shares a common prefix with this one — the shared
         page-aligned prefix is reused read-only (no page copies) and its
         forward pass is SKIPPED at prefill (automatic prefix caching).
         Best-effort: if the source retired before this request is
         admitted, it prefills normally. sampling: a SamplingParams
-        (default greedy)."""
+        (default greedy). eos_token_id: int or set of ints — generating
+        any of them finishes the request early (the stop token IS
+        recorded in the output, HF-style); max_new_tokens stays the hard
+        cap."""
         prompt_tokens = np.asarray(prompt_tokens, np.int32).reshape(-1)
         self._prompts[req_id] = prompt_tokens
         self.outputs[req_id] = []
+        if eos_token_id is None:
+            self._eos[req_id] = frozenset()
+        elif isinstance(eos_token_id, (int, np.integer)):
+            self._eos[req_id] = frozenset([int(eos_token_id)])
+        else:
+            self._eos[req_id] = frozenset(int(t) for t in eos_token_id)
         sp = sampling or SamplingParams()
         self._sampling[req_id] = (sp, np.random.default_rng(sp.seed))
         prefix_len = 0
@@ -574,6 +584,7 @@ class ServingEngine:
             sp,
             np.random.default_rng([sp.seed, abs(hash(new_req_id))]),
         )
+        self._eos[new_req_id] = self._eos.get(req_id, frozenset())
         # the source's last recorded token IS its pending (not-yet-decoded)
         # one; a diverging fork replaces it with the alternative
         out = list(self.outputs[req_id])
@@ -641,7 +652,8 @@ class ServingEngine:
     def _record(self, r, tok):
         self.stats["tokens"] += 1
         self.outputs[r.req_id].append(tok)
-        done = r.generated + 1 >= r.max_new_tokens
+        done = (r.generated + 1 >= r.max_new_tokens
+                or tok in self._eos.get(r.req_id, ()))
         self.sched.commit(r.req_id, done=done)
         if done:
             self._pending.pop(r.req_id, None)

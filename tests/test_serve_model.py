@@ -302,3 +302,32 @@ def test_sampling_params_filters():
     sp = SamplingParams(temperature=5.0, top_k=2, seed=7)
     draws = {sp.sample(logits, rng) for _ in range(50)}
     assert draws <= {1, 3} and len(draws) == 2
+
+
+def test_eos_token_stops_early(params):
+    """eos_token_id finishes a request when generated (the stop token is
+    recorded, HF-style), before max_new_tokens; unaffected requests run
+    to their cap; works under speculation too (acceptance stops at eos)."""
+    rng = np.random.default_rng(47)
+    prompt = rng.integers(0, CFG.vocab, size=9).astype(np.int32)
+    ref = _dense_greedy(params, prompt, 8)
+    # stop at the first position whose token VALUE hasn't occurred before
+    # (an earlier duplicate would legitimately stop the run there)
+    stop_at = next(i for i in range(1, 8) if ref[i] not in ref[:i])
+    eos = ref[stop_at]
+
+    for spec in (None, 4):
+        eng = ServingEngine(params, CFG, num_pages=40, page_size=8,
+                            pages_per_seq=6, max_batch=2, reserve=1,
+                            speculate_k=spec)
+        eng.submit(0, prompt, 8, eos_token_id=eos)
+        eng.submit(1, prompt, 8)  # no eos: runs to the cap
+        out = eng.run(max_steps=60)
+        assert out[0] == ref[:stop_at + 1], (spec, out[0], ref)
+        assert out[1] == ref, (spec, out[1])
+
+    # a set of stop ids works too
+    eng = ServingEngine(params, CFG, num_pages=40, page_size=8,
+                        pages_per_seq=6, max_batch=2, reserve=1)
+    eng.submit(0, prompt, 8, eos_token_id={eos, CFG.vocab + 5})
+    assert eng.run(max_steps=60)[0] == ref[:stop_at + 1]
