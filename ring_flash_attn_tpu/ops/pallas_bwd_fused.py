@@ -284,16 +284,17 @@ def pallas_block_bwd_fused(dout, q, k, v, lse, delta, scale,
                            blk_q=None, blk_kv=None, kv_sub=None):
     """Fused block backward. Returns (dq, dk, dv) fp32; dk/dv per KV head,
     GQA group accumulated in-kernel. Same contract as pallas_block_bwd."""
-    from .pallas_bwd import DEFAULT_BLOCK_Q
     from .pallas_fwd import _pick_block
 
     b, hq, sq, d = q.shape
     _, hkv, skv, _ = k.shape
     group = hq // hkv
-    blk_q = blk_q or _pick_block(sq, DEFAULT_BLOCK_Q)
-    # 2048 macro KV blocks + 1024 sub-tiles measured best on v5e
-    # (10.75ms vs 11.03 at 1024/1024; 4096 collapses on VMEM pressure)
-    blk_kv = blk_kv or _pick_block(skv, 2048)
+    # 512 q-blocks + 4096 macro KV blocks + 1024 sub-tiles measured best on
+    # v5e with the slope harness (tools/exp_bwd_r3.py: 9.02 ms vs 9.41 at
+    # 1024/2048/1024 on the causal headline shape; 1024/4096 collapses on
+    # VMEM pressure, 512/4096 pipelines fine)
+    blk_q = blk_q or _pick_block(sq, 512)
+    blk_kv = blk_kv or _pick_block(skv, 4096)
     kv_sub = kv_sub or min(blk_kv, 1024)
     while blk_kv % kv_sub:
         kv_sub //= 2
