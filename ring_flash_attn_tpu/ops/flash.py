@@ -37,8 +37,13 @@ def block_fwd(q, k, v, scale, mask: MaskArgs, backend=None, out_dtype=None):
     )
 
 
-def block_bwd(dout, q, k, v, lse, delta, scale, mask: MaskArgs, backend=None):
+def block_bwd(dout, q, k, v, lse, delta, scale, mask: MaskArgs, backend=None,
+              dq_dtype=None):
     """Block backward: returns (dq, dk, dv) fp32, dk/dv reduced over GQA group.
+
+    dq is fp32 (the schedules accumulate it across ring steps) unless
+    dq_dtype narrows it — single-call paths pass q.dtype so the kernel
+    writes the final dtype directly instead of paying a cast pass.
 
     `delta = rowsum(dout * out)` is computed once by the caller (it only
     depends on the final merged out), unlike the reference which lets each
@@ -46,12 +51,13 @@ def block_bwd(dout, q, k, v, lse, delta, scale, mask: MaskArgs, backend=None):
     """
     backend = get_backend(backend)
     if backend == "xla":
-        return naive_block_bwd(dout, q, k, v, lse, delta, scale, mask)
+        dq, dk, dv = naive_block_bwd(dout, q, k, v, lse, delta, scale, mask)
+        return (dq.astype(dq_dtype) if dq_dtype else dq), dk, dv
     from .pallas_bwd import pallas_block_bwd
 
     return pallas_block_bwd(
         dout, q, k, v, lse, delta, scale, mask,
-        interpret=(backend == "pallas_interpret"),
+        interpret=(backend == "pallas_interpret"), dq_dtype=dq_dtype,
     )
 
 
@@ -101,9 +107,9 @@ def flash_attention(q, k, v, scale, mask: MaskArgs, backend=None):
         dout, _ = grads  # no gradient path through lse, as in the reference
         delta = compute_delta(dout, out)
         dq, dk, dv = block_bwd(dout, q, k, v, lse, delta, scale,
-                               mask._replace(**dyn), backend)
-        return (dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype),
-                None)
+                               mask._replace(**dyn), backend,
+                               dq_dtype=q.dtype)
+        return (dq, dk.astype(k.dtype), dv.astype(v.dtype), None)
 
     f.defvjp(f_fwd, f_bwd)
     return f(q, k, v, dyn)

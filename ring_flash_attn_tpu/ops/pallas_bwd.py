@@ -762,10 +762,15 @@ def _dkv(dout, qs, k, v, lse, delta, mask, blk_q, blk_kv, interpret):
 
 
 def pallas_block_bwd(dout, q, k, v, lse, delta, scale, mask: MaskArgs,
-                     interpret=False, blk_q=None, blk_kv=None, fused=None):
+                     interpret=False, blk_q=None, blk_kv=None, fused=None,
+                     dq_dtype=None):
     """Block backward. Returns (dq, dk, dv) fp32; dk/dv per KV head.
 
     lse/delta: (B, Hq, Sq) fp32 from the (merged) forward.
+
+    dq is fp32 (the ring schedules accumulate it across steps) unless
+    dq_dtype narrows it — single-call paths pass q.dtype so the fused
+    kernel writes the final dtype directly, saving a cast pass over HBM.
 
     fused=None auto-selects the single-pass fused kernel (5 matmuls/block
     pair, inputs streamed once) when the resident dk/dv accumulators fit
@@ -783,6 +788,7 @@ def pallas_block_bwd(dout, q, k, v, lse, delta, scale, mask: MaskArgs,
         return pallas_block_bwd_fused(
             dout, q, k, v, lse, delta, scale, mask,
             interpret=interpret, blk_q=blk_q, blk_kv=blk_kv,
+            dq_dtype=dq_dtype,
         )
     blk_q = blk_q or _pick_block(sq, DEFAULT_BLOCK_Q)
     blk_kv = blk_kv or _pick_block(skv, DEFAULT_BLOCK_KV)
@@ -808,4 +814,6 @@ def pallas_block_bwd(dout, q, k, v, lse, delta, scale, mask: MaskArgs,
         dout, qs, k, v_dkv, lse4, delta4 * _LN2, mask, blk_q, blk_kv,
         interpret,
     )
+    if dq_dtype is not None:
+        dq = dq.astype(dq_dtype)
     return dq, dk, dv

@@ -5,15 +5,18 @@ orientations: the dq kernel does (s, dp, dq) and the dkv kernel does
 (s^T, dv, dp^T, dk) — 7 MXU matmuls per block pair where the math needs 5.
 This kernel computes the block once and feeds all three gradients:
 
-    s  = qs @ k^T              (qs = q * scale * log2e, base-2 logits)
+    s  = q @ ks^T              (ks = k * scale * log2e, base-2 logits;
+                                prescaling K instead of Q costs a 4x
+                                smaller HBM pass under GQA)
     p  = exp2(s - lse2)        (exact probabilities; lse2 unshifted)
     dp = dout @ vs^T           (vs = v * scale  =>  dp = scale * dout@v^T)
     ds = p * (dp - delta_s)    (delta_s = delta * scale)
-    dq += ds @ k                                    [exact]
+    dq += ds @ ks, rescaled by ln2/scale at the per-q-block flush
+               (ds carries scale, ks carries scale*log2e => the product is
+               scale*log2e too big; one VPU pass over (blk_q, D) per flush)
     dv[ikv] += p^T @ dout                           [exact]
-    dk[ikv] += ds^T @ qs, rescaled by ln2/scale at the final flush
-               (ds carries scale, qs carries scale*log2e => the product is
-               scale*log2e too big; one VPU pass over (Skv, D) at the end)
+    dk[ikv] += ds^T @ q                             [exact: ds carries the
+               one factor of scale dk needs — no final rescale pass]
 
 Atomics-free accumulation (TPU has no scatter-add): the grid runs
 (batch, kv-head, pair) with pairs enumerated q-major per GQA group member
@@ -75,12 +78,11 @@ def _bwd_fused_kernel(
     blk_kv,
     sub,
     num_kv_blocks,
-    num_pairs,
-    dk_rescale,
+    dq_rescale,
 ):
     it = iter(refs)
-    qs_ref = next(it)  # (1, 1, blk_q, D) q * scale * log2e
-    k_ref = next(it)  # (1, 1, blk_kv, D)
+    q_ref = next(it)  # (1, 1, blk_q, D) raw q
+    ks_ref = next(it)  # (1, 1, blk_kv, D) k * scale * log2e
     vs_ref = next(it)  # (1, 1, blk_kv, D) v * scale
     dout_ref = next(it)  # (1, 1, blk_q, D)
     lse_ref = next(it)  # (1, 1, blk_q, 1) f32 base-2, clamped
@@ -163,8 +165,8 @@ def _bwd_fused_kernel(
     def _body(t, masked):
         ts = slice(t * sub, (t + 1) * sub)
         s = jax.lax.dot_general(
-            qs_ref[0, 0],
-            k_ref[0, 0, ts, :],
+            q_ref[0, 0],
+            ks_ref[0, 0, ts, :],
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
         )  # (blk_q, sub) base-2 logits
@@ -198,8 +200,8 @@ def _bwd_fused_kernel(
         if softcap:
             ds = ds * (1.0 - tt * tt)
         dq_s[...] += jax.lax.dot_general(
-            ds.astype(k_ref.dtype),
-            k_ref[0, 0, ts, :],
+            ds.astype(ks_ref.dtype),
+            ks_ref[0, 0, ts, :],
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
@@ -212,8 +214,8 @@ def _bwd_fused_kernel(
             preferred_element_type=jnp.float32,
         )
         dk_ref[0, 0, sl, :] += jax.lax.dot_general(
-            ds.astype(qs_ref.dtype),
-            qs_ref[0, 0],
+            ds.astype(q_ref.dtype),
+            q_ref[0, 0],
             dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
@@ -267,12 +269,12 @@ def _bwd_fused_kernel(
 
     @pl.when((qlast_map_ref[p] & 1) == 1)
     def _flush_dq():
-        dq_ref[0, 0] = dq_s[...]
-
-    @pl.when(p == num_pairs - 1)
-    def _flush_dk():
-        # cancel the scale*log2e carried by ds^T @ qs (see module docstring)
-        dk_ref[...] = dk_ref[...] * jnp.float32(dk_rescale)
+        # cancel the scale*log2e carried by ds @ ks (see module docstring);
+        # the cast writes the caller's dq dtype directly (single-call paths
+        # pass bf16, saving a full-array cast pass over HBM)
+        dq_ref[0, 0] = (dq_s[...] * jnp.float32(dq_rescale)).astype(
+            dq_ref.dtype
+        )
 
 
 def fused_bwd_supported(skv, d):
@@ -281,9 +283,12 @@ def fused_bwd_supported(skv, d):
 
 def pallas_block_bwd_fused(dout, q, k, v, lse, delta, scale,
                            mask: MaskArgs, interpret=False,
-                           blk_q=None, blk_kv=None, kv_sub=None):
-    """Fused block backward. Returns (dq, dk, dv) fp32; dk/dv per KV head,
-    GQA group accumulated in-kernel. Same contract as pallas_block_bwd."""
+                           blk_q=None, blk_kv=None, kv_sub=None,
+                           dq_dtype=None):
+    """Fused block backward. Returns (dq, dk, dv); dk/dv fp32 per KV head,
+    GQA group accumulated in-kernel; dq fp32 unless dq_dtype narrows it
+    (single-call paths pass q.dtype so the kernel writes the final dtype
+    directly). Same contract as pallas_block_bwd."""
     from .pallas_fwd import _pick_block
 
     b, hq, sq, d = q.shape
@@ -312,8 +317,9 @@ def pallas_block_bwd_fused(dout, q, k, v, lse, delta, scale,
     else:
         triangular = causal and offset_static
 
-    # Pre-scaled operands (see module docstring): one fused HBM pass each.
-    qs = (q.astype(jnp.float32) * (scale * _LOG2E)).astype(q.dtype)
+    # Pre-scaled operands (see module docstring): one fused HBM pass each,
+    # over the (group-x smaller) K/V arrays rather than Q.
+    ks = (k.astype(jnp.float32) * (scale * _LOG2E)).astype(k.dtype)
     vs = (v.astype(jnp.float32) * scale).astype(v.dtype)
     lse2 = jnp.maximum(lse.astype(jnp.float32) * _LOG2E, NEG_INF / 2)
     lse4 = lse2[..., None]
@@ -405,7 +411,7 @@ def pallas_block_bwd_fused(dout, q, k, v, lse, delta, scale,
         pl.BlockSpec((1, 1, blk_q, 1), lse_index, memory_space=pltpu.VMEM),
         pl.BlockSpec((1, 1, blk_q, 1), lse_index, memory_space=pltpu.VMEM),
     ]
-    inputs = [qs, k, vs, dout, lse4, delta4]
+    inputs = [q, ks, vs, dout, lse4, delta4]
 
     def _vec(x, blk, idx_fn):
         if x is not None:
@@ -437,8 +443,7 @@ def pallas_block_bwd_fused(dout, q, k, v, lse, delta, scale,
         blk_kv=blk_kv,
         sub=kv_sub,
         num_kv_blocks=n_kv,
-        num_pairs=len(pairs),
-        dk_rescale=_LN2 / scale,
+        dq_rescale=_LN2 / scale,
     )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -457,7 +462,7 @@ def pallas_block_bwd_fused(dout, q, k, v, lse, delta, scale,
         kernel,
         grid_spec=grid_spec,
         out_shape=[
-            jax.ShapeDtypeStruct((b, hq, sq, d), jnp.float32),
+            jax.ShapeDtypeStruct((b, hq, sq, d), dq_dtype or jnp.float32),
             jax.ShapeDtypeStruct((b, hkv, skv, d), jnp.float32),
             jax.ShapeDtypeStruct((b, hkv, skv, d), jnp.float32),
         ],

@@ -23,8 +23,8 @@ Design (TPU-first):
   interior blocks take a mask-free fast path (VPU savings).
 - varlen is segment-ids + optional per-token positions (MaskArgs), masked
   element-wise with the NEG_INF sentinel — same semantics as ops.naive.
-- softmax_scale is folded into q once in the wrapper (one fused HBM pass)
-  instead of a per-block VPU multiply.
+- softmax_scale is folded into k once in the wrapper (one fused HBM pass,
+  group-x smaller than q under GQA) instead of a per-block VPU multiply.
 """
 
 import functools
@@ -284,9 +284,9 @@ def _fwd_kernel(
         return allowed
 
     def _logits(t):
-        # q arrives pre-scaled by softmax_scale. Feed the MXU its native
-        # input dtype (bf16 in, f32 accumulate); casting inputs to f32 first
-        # would quarter the matmul rate.
+        # k arrives pre-scaled by softmax_scale * log2e. Feed the MXU its
+        # native input dtype (bf16 in, f32 accumulate); casting inputs to
+        # f32 first would quarter the matmul rate.
         s = jax.lax.dot_general(
             q_ref[0, 0],
             k_ref[0, 0, t * sub:(t + 1) * sub, :],
@@ -311,7 +311,7 @@ def _fwd_kernel(
     def _update(t, masked):
         """Online-softmax state update with sub-tile t's logits (blk_q, sub).
 
-        Logits arrive in base-2 units (log2(e) folded into the q pre-scale),
+        Logits arrive in base-2 units (log2(e) folded into the k pre-scale),
         so the VPU runs native exp2 instead of exp (= exp2 + a multiply per
         element); m/l are tracked base-2 and converted at flush."""
         s = _logits(t)
@@ -432,10 +432,11 @@ def pallas_block_fwd(q, k, v, scale, mask: MaskArgs, interpret=False,
     assert hq % hkv == 0, (hq, hkv)
     group = hq // hkv
 
-    # Fold the softmax scale AND log2(e) into q up front (fp32 multiply,
-    # cast back): one fused HBM pass over q vs. a VPU multiply over every
-    # logit block, and base-2 logits for native exp2 in the kernel.
-    q = (q.astype(jnp.float32) * (scale * _LOG2E)).astype(q.dtype)
+    # Fold the softmax scale AND log2(e) into k up front (fp32 multiply,
+    # cast back): one fused HBM pass over k — group-x smaller than q under
+    # GQA — vs. a VPU multiply over every logit block, and base-2 logits
+    # for native exp2 in the kernel.
+    k = (k.astype(jnp.float32) * (scale * _LOG2E)).astype(k.dtype)
 
     causal = bool(mask.causal)
     blk_q = blk_q or _pick_block(sq, DEFAULT_BLOCK_Q)

@@ -52,6 +52,14 @@ def main():
         (1024, 2048, 2048),
         (2048, 4096, 2048),
         (4096, 4096, 1024),
+        # bq=512 family, added after the fused-bwd sweep (exp_bwd_r3.py)
+        # found 512/4096/1024 beating every bq>=1024 config
+        (512, 2048, 1024),
+        (512, 4096, 1024),
+        (512, 4096, 512),
+        (512, 2048, 512),
+        (512, 1024, 1024),
+        (256, 4096, 1024),
     ]
     for bq, bkv, sub in sweeps:
         run(f"causal q{bq}/kv{bkv}/s{sub}", causal, flops_c,
