@@ -184,6 +184,76 @@ def bench_spec_verify(params, cfg, caches):
           f"verify {d_spec*1e6:7.1f} us -> up to {K} "
           f"({d_spec/d_plain:.2f}x cost, breakeven at "
           f"{d_spec/d_plain:.2f} accepted tokens/step)")
+    return d_plain, d_spec
+
+
+def bench_speculation_e2e(cost_ratio):
+    """End-to-end speculation under a MIXED prefill+decode trace
+    (VERDICT r3 item 9): the same staggered workload runs through two
+    ServingEngines — speculate_k=None vs 4 — and must produce IDENTICAL
+    greedy tokens (acceptance is greedy-prefix, so speculation never
+    changes outputs). Reports the measured acceptance rate, tokens per
+    decode step, and the net decode speedup once the verify step's
+    device cost (`cost_ratio` = verify/plain, trace-measured above) is
+    charged.
+
+    The engine loop itself is host-driven and each step pays this
+    harness's ~200us tunnel dispatch, so wall-clock through the engine
+    would measure the tunnel; steps x trace-measured per-step device cost
+    is the honest end-to-end model."""
+    from ring_flash_attn_tpu.models.serve import ServingEngine
+    from ring_flash_attn_tpu.models.transformer import init_params as ip
+
+    import numpy as np
+
+    cfg = ModelConfig(vocab=61, dim=64, layers=2, heads=4, kv_heads=2,
+                      head_dim=16, mlp_dim=128, dtype="float32")
+    params = ip(jax.random.PRNGKey(0), cfg)
+    rng = np.random.default_rng(11)
+    motif = rng.integers(0, cfg.vocab, size=6).astype(np.int32)
+    prompts = {}
+    for rid in range(6):
+        if rid % 2 == 0:
+            # repetitive prompt: prompt-lookup drafts have n-grams to hit
+            body = np.tile(motif, 6)[: 24 + rid]
+        else:
+            body = rng.integers(0, cfg.vocab, size=20 + rid)
+        prompts[rid] = np.asarray(body, np.int32)
+
+    results = {}
+    for spec in (None, 4):
+        eng = ServingEngine(params, cfg, num_pages=64, page_size=8,
+                            pages_per_seq=8, max_batch=4, reserve=1,
+                            speculate_k=spec)
+        # staggered submissions: half up front, half mid-flight, so
+        # chunked prefills interleave with (speculative) decode steps
+        for rid in range(3):
+            eng.submit(rid, prompts[rid], 24)
+        eng.step()
+        eng.step()
+        for rid in range(3, 6):
+            eng.submit(rid, prompts[rid], 24)
+        out = eng.run(max_steps=300)
+        results[spec] = (out, dict(eng.stats))
+
+    out_plain, st_plain = results[None]
+    out_spec, st_spec = results[4]
+    assert out_plain == out_spec, "speculation changed greedy outputs!"
+
+    acc = st_spec["spec_accepted"] / max(st_spec["spec_proposed"], 1)
+    tps_plain = st_plain["tokens"] / max(st_plain["decode_steps"], 1)
+    tps_spec = st_spec["tokens"] / max(st_spec["decode_steps"], 1)
+    net = (tps_spec / tps_plain) / cost_ratio
+    print("end-to-end speculation, mixed prefill+decode trace "
+          "(6 staggered requests, 24 new tokens each; outputs "
+          "verified identical to the non-speculative run):")
+    print(f"  acceptance rate {acc*100:.1f}% "
+          f"({st_spec['spec_accepted']}/{st_spec['spec_proposed']} drafts)")
+    print(f"  decode steps {st_plain['decode_steps']} -> "
+          f"{st_spec['decode_steps']}; tokens/decode-step "
+          f"{tps_plain:.2f} -> {tps_spec:.2f}")
+    print(f"  net decode speedup at the measured {cost_ratio:.2f}x "
+          f"verify-step cost: {net:.2f}x")
 
 
 def main():
@@ -242,8 +312,9 @@ def main():
           f"{params_bytes/1e9:.1f} GB @ 819 GB/s): {roof*1e6:.1f} us "
           f"({roof/dt*100:.1f}% of memory speed-of-light)")
 
-    bench_spec_verify(params, cfg, caches)
+    d_plain, d_spec = bench_spec_verify(params, cfg, caches)
     bench_prefill(params, cfg)
+    bench_speculation_e2e(cost_ratio=d_spec / d_plain)
 
 
 if __name__ == "__main__":

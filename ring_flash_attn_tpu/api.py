@@ -19,7 +19,9 @@ deterministic position-hashed dropout is supported everywhere via
 dropout_p + the dropout_seed kwarg, bitwise-identical between distributed
 and single-device runs (the reference documents dropout as unsupported,
 README.md:158); causal sliding windows (window_size=(left, 0|-1)) are
-supported on the single-device path and all batch distributed paths.
+supported on the single-device path and all batch distributed paths, and
+the single-device path additionally supports flash-attn's full
+bidirectional/non-causal (left, right) window semantics (round 4).
 Causal sliding windows are also supported on all varlen paths (ring,
 zigzag, llama3) — the reference has a documented hole there
 (README.md:159). `deterministic` is accepted and ignored — every path
@@ -123,19 +125,27 @@ def flash_attn_func(
     deterministic=False,
     return_attn_probs=False, dropout_seed=None,
 ):
-    """Single-device flash attention, q/k/v (B, S, H, D). Supports causal
-    sliding windows via window_size=(left, 0), softcap, ALiBi, and
-    deterministic dropout (pass dropout_seed; see ops/mask.py)."""
-    window_left = _check_unsupported(
-        dropout_p, window_size, alibi_slopes, allow_window=True,
-        allow_alibi=True, allow_dropout=True,
-    )
-    if window_left is not None and not causal:
-        raise NotImplementedError("sliding window requires causal=True")
+    """Single-device flash attention, q/k/v (B, S, H, D). Supports full
+    flash-attn window semantics — causal sliding windows
+    window_size=(left, 0) and bidirectional/non-causal windows
+    window_size=(left, right) with causal=False (either side -1 =
+    unlimited; the reference forwards window_size to flash-attn verbatim,
+    reference ring_flash_attn.py:44-52) — plus softcap, ALiBi, and
+    deterministic dropout (pass dropout_seed; see ops/mask.py).
+    Distributed paths remain causal-window-only."""
+    window_left = window_right = None
+    if tuple(window_size) != (-1, -1):
+        if window_size[0] >= 0:
+            window_left = int(window_size[0])
+        # flash-attn convention: with causal=True causality already caps
+        # the right side at 0, so window_size[1] is a no-op there
+        if window_size[1] >= 0 and not causal:
+            window_right = int(window_size[1])
     out, lse = _flash_attention(
         _bshd_to_bhsd(q), _bshd_to_bhsd(k), _bshd_to_bhsd(v),
         _scale(softmax_scale, q.shape[-1]),
         MaskArgs(causal=causal, window_left=window_left,
+                 window_right=window_right,
                  softcap=_cap(softcap), alibi_slopes=alibi_slopes,
                  dropout_p=dropout_p or None, dropout_seed=dropout_seed),
     )

@@ -38,7 +38,7 @@ def block_fwd(q, k, v, scale, mask: MaskArgs, backend=None, out_dtype=None):
 
 
 def block_bwd(dout, q, k, v, lse, delta, scale, mask: MaskArgs, backend=None,
-              dq_dtype=None):
+              dq_dtype=None, out=None, dkv_dtype=None):
     """Block backward: returns (dq, dk, dv) fp32, dk/dv reduced over GQA group.
 
     dq is fp32 (the schedules accumulate it across ring steps) unless
@@ -47,17 +47,27 @@ def block_bwd(dout, q, k, v, lse, delta, scale, mask: MaskArgs, backend=None,
 
     `delta = rowsum(dout * out)` is computed once by the caller (it only
     depends on the final merged out), unlike the reference which lets each
-    flash-bwd call recompute it internally.
+    flash-bwd call recompute it internally. Single-call paths may instead
+    pass delta=None + out=<forward out>: the fused kernel then computes
+    delta in-kernel from the streamed blocks, deleting the separate XLA
+    pass over dout/out (one fewer full HBM round-trip).
     """
     backend = get_backend(backend)
+    if delta is None:
+        assert out is not None, "delta=None requires the forward out"
     if backend == "xla":
+        if delta is None:
+            delta = compute_delta(dout, out)
         dq, dk, dv = naive_block_bwd(dout, q, k, v, lse, delta, scale, mask)
+        if dkv_dtype is not None:
+            dk, dv = dk.astype(dkv_dtype), dv.astype(dkv_dtype)
         return (dq.astype(dq_dtype) if dq_dtype else dq), dk, dv
     from .pallas_bwd import pallas_block_bwd
 
     return pallas_block_bwd(
         dout, q, k, v, lse, delta, scale, mask,
         interpret=(backend == "pallas_interpret"), dq_dtype=dq_dtype,
+        out=out, dkv_dtype=dkv_dtype,
     )
 
 
@@ -105,10 +115,13 @@ def flash_attention(q, k, v, scale, mask: MaskArgs, backend=None):
     def f_bwd(res, grads):
         q, k, v, dyn, out, lse = res
         dout, _ = grads  # no gradient path through lse, as in the reference
-        delta = compute_delta(dout, out)
-        dq, dk, dv = block_bwd(dout, q, k, v, lse, delta, scale,
+        # delta=None: the fused kernel computes delta in-kernel from the
+        # streamed dout/out blocks (saves the separate XLA HBM pass);
+        # dq/dk/dv emitted in the caller dtypes directly (no cast passes)
+        dq, dk, dv = block_bwd(dout, q, k, v, lse, None, scale,
                                mask._replace(**dyn), backend,
-                               dq_dtype=q.dtype)
+                               dq_dtype=q.dtype, out=out,
+                               dkv_dtype=k.dtype)
         return (dq, dk.astype(k.dtype), dv.astype(v.dtype), None)
 
     f.defvjp(f_fwd, f_bwd)

@@ -53,7 +53,7 @@ class MaskArgs(NamedTuple):
     kv_segids: Optional[Any] = None
     q_pos: Optional[Any] = None
     kv_pos: Optional[Any] = None
-    # sliding window: attend only kv with q_position - kv_position <
+    # sliding window: attend only kv with q_position - kv_position <=
     # window_left (static int, None = unlimited). flash-attn's
     # window_size[0]; combined with `causal`.
     window_left: Optional[int] = None
@@ -96,10 +96,24 @@ class MaskArgs(NamedTuple):
     # blocks — the *_varlen_info helpers and the api layer set it only
     # where the contract holds by construction.
     packed_self: bool = False
+    # right half of a bidirectional sliding window (flash-attn's
+    # window_size[1] for causal=False): attend only kv with
+    # kv_position - q_position <= window_right (static int, None =
+    # unlimited). Ignored when causal=True (causality already bounds the
+    # right side at 0). Non-causal windows are a single-device-path
+    # feature, matching flash-attn's (l, r) semantics
+    # (reference ring_flash_attn.py:44-52 forwards window_size verbatim).
+    window_right: Optional[int] = None
 
     @property
     def has_position_mask(self):
         return self.causal
+
+    @property
+    def has_window(self):
+        return self.window_left is not None or (
+            self.window_right is not None and not self.causal
+        )
 
     @property
     def has_segment_mask(self):
@@ -109,11 +123,17 @@ class MaskArgs(NamedTuple):
 def allowed_mask(mask: MaskArgs, sq: int, skv: int):
     """Dense bool (Sq, Skv) mask, or None if unconstrained. XLA-backend path."""
     allowed = None
-    if mask.causal:
+    if mask.causal or mask.has_window:
         qp, kp = positions(mask, sq, skv)
-        allowed = qp[:, None] >= kp[None, :]
+        diff = qp[:, None] - kp[None, :]
+        if mask.causal:
+            allowed = diff >= 0
         if mask.window_left is not None:
-            allowed &= (qp[:, None] - kp[None, :]) <= mask.window_left
+            c = diff <= mask.window_left
+            allowed = c if allowed is None else (allowed & c)
+        if mask.window_right is not None and not mask.causal:
+            c = diff >= -mask.window_right
+            allowed = c if allowed is None else (allowed & c)
     if mask.q_segids is not None:
         seg = mask.q_segids.astype(jnp.int32)[:, None] == mask.kv_segids.astype(
             jnp.int32

@@ -66,6 +66,7 @@ def _dq_kernel(
     triangular,
     static_offset,
     window_left,
+    window_right,
     softcap,
     use_alibi,
     dropout_p,
@@ -131,13 +132,20 @@ def _dq_kernel(
         )
         return dropout_keep(rh, kp, dropout_threshold(dropout_p))
 
+    use_window = window_left is not None or window_right is not None
+
     def _allowed():
         allowed = None
-        if causal:
+        if causal or use_window:
             qp, kp = _qp_kp()
-            allowed = qp >= kp
+            if causal:
+                allowed = qp >= kp
             if window_left is not None:
-                allowed &= (qp - kp) <= window_left
+                c = (qp - kp) <= window_left
+                allowed = c if allowed is None else (allowed & c)
+            if window_right is not None:
+                c = (kp - qp) <= window_right
+                allowed = c if allowed is None else (allowed & c)
         if use_segments:
             qs_ = qseg_ref[0, :].reshape(blk_q, 1)
             ks_ = kseg_ref[0, :].reshape(1, blk_kv)
@@ -191,21 +199,29 @@ def _dq_kernel(
     # Block-granular three-way dispatch (skip / mask-free / masked) from
     # scalar block bounds — see _fwd_kernel for the derivation. Skipped
     # blocks contribute exactly zero to dq, so omitting them is exact.
-    if causal or use_segments:
+    if causal or use_segments or use_window:
         skip = None
         free = None
-        if causal:
+        if causal or use_window:
             if use_positions:
                 lo = qmeta_ref[2, iq] - kvmeta_ref[3, ikv]
                 hi = qmeta_ref[3, iq] - kvmeta_ref[2, ikv]
             else:
                 lo = iq * blk_q + rel - ((ikv + 1) * blk_kv - 1)
                 hi = iq * blk_q + blk_q - 1 + rel - ikv * blk_kv
-            skip = hi < 0
-            free = lo >= 0
+            if causal:
+                skip = hi < 0
+                free = lo >= 0
             if window_left is not None:
-                skip |= lo > window_left
-                free &= hi <= window_left
+                c_s = lo > window_left
+                c_f = hi <= window_left
+                skip = c_s if skip is None else (skip | c_s)
+                free = c_f if free is None else (free & c_f)
+            if window_right is not None:
+                c_s = hi < -window_right
+                c_f = lo >= -window_right
+                skip = c_s if skip is None else (skip | c_s)
+                free = c_f if free is None else (free & c_f)
         if use_segments:
             qsmin = qmeta_ref[0, iq]
             qsmax = qmeta_ref[1, iq]
@@ -251,6 +267,7 @@ def _dkv_kernel(
     use_positions,
     use_segments,
     window_left,
+    window_right,
     softcap,
     use_alibi,
     dropout_p,
@@ -316,14 +333,21 @@ def _dkv_kernel(
         )
         return dropout_keep(rh, kp, dropout_threshold(dropout_p))
 
+    use_window = window_left is not None or window_right is not None
+
     def _allowed_t():
         """(blk_kv, blk_q) transposed mask."""
         allowed = None
-        if causal:
+        if causal or use_window:
             qp, kp = _qp_kp_t()
-            allowed = qp >= kp
+            if causal:
+                allowed = qp >= kp
             if window_left is not None:
-                allowed &= (qp - kp) <= window_left
+                c = (qp - kp) <= window_left
+                allowed = c if allowed is None else (allowed & c)
+            if window_right is not None:
+                c = (kp - qp) <= window_right
+                allowed = c if allowed is None else (allowed & c)
         if use_segments:
             qs_ = qseg_ref[0, :].reshape(1, blk_q)
             ks_ = kseg_ref[0, :].reshape(blk_kv, 1)
@@ -385,21 +409,29 @@ def _dkv_kernel(
     # contribute exactly zero to dk/dv, so omitting them is exact. (The
     # kv-major pair enumeration already prunes above-diagonal pairs for
     # static offsets; the predicates also cover traced-offset rings.)
-    if causal or use_segments:
+    if causal or use_segments or use_window:
         skip = None
         free = None
-        if causal:
+        if causal or use_window:
             if use_positions:
                 lo = qmeta_ref[2, iq] - kvmeta_ref[3, ikv]
                 hi = qmeta_ref[3, iq] - kvmeta_ref[2, ikv]
             else:
                 lo = iq * blk_q + rel - ((ikv + 1) * blk_kv - 1)
                 hi = iq * blk_q + blk_q - 1 + rel - ikv * blk_kv
-            skip = hi < 0
-            free = lo >= 0
+            if causal:
+                skip = hi < 0
+                free = lo >= 0
             if window_left is not None:
-                skip |= lo > window_left
-                free &= hi <= window_left
+                c_s = lo > window_left
+                c_f = hi <= window_left
+                skip = c_s if skip is None else (skip | c_s)
+                free = c_f if free is None else (free & c_f)
+            if window_right is not None:
+                c_s = hi < -window_right
+                c_f = lo >= -window_right
+                skip = c_s if skip is None else (skip | c_s)
+                free = c_f if free is None else (free & c_f)
         if use_segments:
             qsmin = qmeta_ref[0, iq]
             qsmax = qmeta_ref[1, iq]
@@ -569,6 +601,7 @@ def _dq(dout, qs, k, v, lse_adj, delta, mask, blk_q, blk_kv, interpret):
         triangular=triangular,
         static_offset=static_offset,
         window_left=mask.window_left,
+        window_right=None if causal else mask.window_right,
         softcap=mask.softcap,
         use_alibi=use_alibi,
         dropout_p=mask.dropout_p,
@@ -722,6 +755,7 @@ def _dkv(dout, qs, k, v, lse, delta, mask, blk_q, blk_kv, interpret):
         use_positions=use_positions,
         use_segments=use_segments,
         window_left=mask.window_left,
+        window_right=None if causal else mask.window_right,
         softcap=mask.softcap,
         use_alibi=use_alibi,
         dropout_p=mask.dropout_p,
@@ -763,7 +797,7 @@ def _dkv(dout, qs, k, v, lse, delta, mask, blk_q, blk_kv, interpret):
 
 def pallas_block_bwd(dout, q, k, v, lse, delta, scale, mask: MaskArgs,
                      interpret=False, blk_q=None, blk_kv=None, fused=None,
-                     dq_dtype=None):
+                     dq_dtype=None, out=None, dkv_dtype=None):
     """Block backward. Returns (dq, dk, dv) fp32; dk/dv per KV head.
 
     lse/delta: (B, Hq, Sq) fp32 from the (merged) forward.
@@ -788,7 +822,13 @@ def pallas_block_bwd(dout, q, k, v, lse, delta, scale, mask: MaskArgs,
         return pallas_block_bwd_fused(
             dout, q, k, v, lse, delta, scale, mask,
             interpret=interpret, blk_q=blk_q, blk_kv=blk_kv,
-            dq_dtype=dq_dtype,
+            dq_dtype=dq_dtype, out=out if delta is None else None,
+            dkv_dtype=dkv_dtype,
+        )
+    if delta is None:
+        # the split kernels stream delta as an input; compute it here
+        delta = jnp.sum(
+            dout.astype(jnp.float32) * out.astype(jnp.float32), axis=-1
         )
     blk_q = blk_q or _pick_block(sq, DEFAULT_BLOCK_Q)
     blk_kv = blk_kv or _pick_block(skv, DEFAULT_BLOCK_KV)
@@ -816,4 +856,7 @@ def pallas_block_bwd(dout, q, k, v, lse, delta, scale, mask: MaskArgs,
     )
     if dq_dtype is not None:
         dq = dq.astype(dq_dtype)
+    if dkv_dtype is not None:
+        dk = dk.astype(dkv_dtype)
+        dv = dv.astype(dkv_dtype)
     return dq, dk, dv

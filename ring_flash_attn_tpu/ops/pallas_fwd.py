@@ -173,12 +173,14 @@ def _fwd_kernel(
     compact,
     static_offset,
     window_left,
+    window_right,
     softcap,
     use_alibi,
     dropout_p,
     blk_q,
     blk_kv,
     sub,
+    fine,
     num_kv_blocks,
 ):
     it = iter(refs)
@@ -240,59 +242,65 @@ def _fwd_kernel(
         l_s[:, :1] = jnp.zeros((blk_q, 1), jnp.float32)
         acc_s[...] = jnp.zeros_like(acc_s)
 
-    def _qp_kp(t):
-        ts = slice(t * sub, (t + 1) * sub)
+    def _qp_kp(start, width):
         if use_positions:
             qp = qpos_ref[0, :].reshape(blk_q, 1)
-            kp = kpos_ref[0, ts].reshape(1, sub)
+            kp = kpos_ref[0, start:start + width].reshape(1, width)
         else:
             qp = (
                 iq * blk_q + info_ref[0]
                 + jax.lax.broadcasted_iota(jnp.int32, (blk_q, 1), 0)
             )
             kp = (
-                ikv * blk_kv + t * sub + info_ref[1]
-                + jax.lax.broadcasted_iota(jnp.int32, (1, sub), 1)
+                ikv * blk_kv + start + info_ref[1]
+                + jax.lax.broadcasted_iota(jnp.int32, (1, width), 1)
             )
         return qp, kp
 
-    def _keep(t):
+    def _keep(start, width):
         """Deterministic dropout keep-mask from absolute coordinates —
         identical across block shapes, fwd/bwd kernels, backends, and ring
         steps (see ops/mask.py)."""
         from .mask import dropout_keep, dropout_row_hash, dropout_threshold
 
-        qp, kp = _qp_kp(t)
+        qp, kp = _qp_kp(start, width)
         qseg = qseg_ref[0, :].reshape(blk_q, 1) if use_segments else None
         rh = dropout_row_hash(
             qp, qseg, h_id + info_ref[3], b_id, info_ref[2]
         )
         return dropout_keep(rh, kp, dropout_threshold(dropout_p))
 
-    def _allowed(t):
+    use_window = window_left is not None or window_right is not None
+
+    def _allowed(start, width):
         allowed = None
-        if causal:
-            qp, kp = _qp_kp(t)
-            allowed = qp >= kp
+        if causal or use_window:
+            qp, kp = _qp_kp(start, width)
+            if causal:
+                allowed = qp >= kp
             if window_left is not None:
-                allowed &= (qp - kp) <= window_left
+                c = (qp - kp) <= window_left
+                allowed = c if allowed is None else (allowed & c)
+            if window_right is not None:
+                c = (kp - qp) <= window_right
+                allowed = c if allowed is None else (allowed & c)
         if use_segments:
             qs = qseg_ref[0, :].reshape(blk_q, 1)
-            ks = kseg_ref[0, t * sub:(t + 1) * sub].reshape(1, sub)
+            ks = kseg_ref[0, start:start + width].reshape(1, width)
             seg = qs == ks
             allowed = seg if allowed is None else (allowed & seg)
         return allowed
 
-    def _logits(t):
+    def _logits(start, width):
         # k arrives pre-scaled by softmax_scale * log2e. Feed the MXU its
         # native input dtype (bf16 in, f32 accumulate); casting inputs to
         # f32 first would quarter the matmul rate.
         s = jax.lax.dot_general(
             q_ref[0, 0],
-            k_ref[0, 0, t * sub:(t + 1) * sub, :],
+            k_ref[0, 0, start:start + width, :],
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
-        )  # (blk_q, sub) f32
+        )  # (blk_q, width) f32
         if softcap:
             # Logits are in base-2 units (log2e folded into q), so the cap
             # scales the same way: cap2 * tanh(s2 / cap2) == log2e * the
@@ -300,7 +308,7 @@ def _fwd_kernel(
             cap2 = jnp.float32(softcap * _LOG2E)
             s = cap2 * jnp.tanh(s * (1.0 / cap2))
         if use_alibi:
-            qp, kp = _qp_kp(t)
+            qp, kp = _qp_kp(start, width)
             dist = (qp - kp).astype(jnp.float32)
             if not causal:
                 dist = jnp.abs(dist)
@@ -308,15 +316,16 @@ def _fwd_kernel(
             s = s - slopes_ref[h_id] * dist
         return s
 
-    def _update(t, masked):
-        """Online-softmax state update with sub-tile t's logits (blk_q, sub).
+    def _update(start, width, masked):
+        """Online-softmax state update with the logits of kv span
+        [start, start+width) — (blk_q, width).
 
         Logits arrive in base-2 units (log2(e) folded into the k pre-scale),
         so the VPU runs native exp2 instead of exp (= exp2 + a multiply per
         element); m/l are tracked base-2 and converted at flush."""
-        s = _logits(t)
+        s = _logits(start, width)
         if masked:
-            s = jnp.where(_allowed(t), s, NEG_INF)
+            s = jnp.where(_allowed(start, width), s, NEG_INF)
         m_prev = m_s[:, :1]  # (blk_q, 1)
         m_cur = jnp.max(s, axis=1, keepdims=True)
         m_new = jnp.maximum(m_prev, m_cur)
@@ -326,7 +335,7 @@ def _fwd_kernel(
         if dropout_p:
             # dropout on the (normalized-at-flush) probabilities: the l
             # statistic stays undropped, only the PV operand is masked
-            pr_v = jnp.where(_keep(t), pr, 0.0) * jnp.float32(
+            pr_v = jnp.where(_keep(start, width), pr, 0.0) * jnp.float32(
                 1.0 / (1.0 - dropout_p)
             )
         else:
@@ -335,7 +344,7 @@ def _fwd_kernel(
         # standard trick; the fp32 row statistics keep the result accurate).
         acc_s[...] = acc_s[...] * alpha + jax.lax.dot_general(
             pr_v.astype(v_ref.dtype),
-            v_ref[0, 0, t * sub:(t + 1) * sub, :],
+            v_ref[0, 0, start:start + width, :],
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
@@ -351,52 +360,85 @@ def _fwd_kernel(
     # Pallas analog of flash-attn varlen's cu_seqlens block skipping
     # (reference ring_flash_attn_varlen.py:56-59 relies on it in CUDA).
     # pl.when predication (Mosaic branches poorly through lax.cond).
+    # Mixed granularity (round 4): a MASKED sub-tile re-dispatches in
+    # `fine`-wide strips with the same skip/free/masked predicate (kvmeta
+    # is at fine granularity), so mostly-dead boundary tiles — varlen
+    # segment edges, window edges — pay ~fine/sub of the masked work.
+    # fine == sub disables the strip pass (fully-allowed tiles always keep
+    # the `sub`-wide fast path either way).
     if use_segments or use_positions:
         qsmin = qmeta_ref[0, iq]
         qsmax = qmeta_ref[1, iq]
         qpmin = qmeta_ref[2, iq]
         qpmax = qmeta_ref[3, iq]
 
-    for t in range(n_sub):
-        if causal or use_segments:
-            skip = None  # None = statically false
-            free = None  # None = statically true
-            jsub = ikv * n_sub + t
+    def _bounds(start, width):
+        """(skip, free) traced scalars for kv span [start, start+width)."""
+        skip = None  # None = statically false
+        free = None  # None = statically true
+        if use_segments or ((causal or use_window) and use_positions):
+            j0 = ikv * (blk_kv // fine) + start // fine
+
+            def agg(row, op):
+                val = kvmeta_ref[row, j0]
+                for s_ in range(1, width // fine):
+                    val = op(val, kvmeta_ref[row, j0 + s_])
+                return val
+
+        if causal or use_window:
+            # lo/hi = bounds of (q position - kv position) on this span
+            if use_positions:
+                lo = qpmin - agg(3, jnp.maximum)
+                hi = qpmax - agg(2, jnp.minimum)
+            else:
+                sub_start = ikv * blk_kv + start
+                lo = iq * blk_q + rel - (sub_start + width - 1)
+                hi = iq * blk_q + blk_q - 1 + rel - sub_start
             if causal:
-                # lo/hi = bounds of (q position - kv position) on this tile
-                if use_positions:
-                    lo = qpmin - kvmeta_ref[3, jsub]
-                    hi = qpmax - kvmeta_ref[2, jsub]
-                else:
-                    sub_start = ikv * blk_kv + t * sub
-                    lo = iq * blk_q + rel - (sub_start + sub - 1)
-                    hi = iq * blk_q + blk_q - 1 + rel - sub_start
                 skip = hi < 0  # every pair above the diagonal
                 free = lo >= 0  # every pair at/below the diagonal
-                if window_left is not None:
-                    skip |= lo > window_left  # every pair left of window
-                    free &= hi <= window_left  # every pair inside window
-            if use_segments:
-                ksmin = kvmeta_ref[0, jsub]
-                ksmax = kvmeta_ref[1, jsub]
-                # disjoint segment-id RANGES => no pair can match (ranges
-                # are conservative: overlap without equality just takes the
-                # masked pass)
-                sd = (qsmax < ksmin) | (ksmax < qsmin)
-                sf = (qsmin == qsmax) & (ksmin == ksmax) & (qsmin == ksmin)
-                skip = sd if skip is None else (skip | sd)
-                free = sf if free is None else (free & sf)
+            if window_left is not None:
+                c_s = lo > window_left  # every pair left of window
+                c_f = hi <= window_left  # every pair inside window
+                skip = c_s if skip is None else (skip | c_s)
+                free = c_f if free is None else (free & c_f)
+            if window_right is not None:
+                c_s = hi < -window_right  # every pair right of window
+                c_f = lo >= -window_right  # every pair inside window
+                skip = c_s if skip is None else (skip | c_s)
+                free = c_f if free is None else (free & c_f)
+        if use_segments:
+            # disjoint segment-id RANGES => no pair can match (ranges
+            # are conservative: overlap without equality just takes the
+            # masked pass)
+            ksmin = agg(0, jnp.minimum)
+            ksmax = agg(1, jnp.maximum)
+            sd = (qsmax < ksmin) | (ksmax < qsmin)
+            sf = (qsmin == qsmax) & (ksmin == ksmax) & (qsmin == ksmin)
+            skip = sd if skip is None else (skip | sd)
+            free = sf if free is None else (free & sf)
+        return skip, free
 
-            @pl.when(jnp.logical_not(skip) & free)
-            def _unmasked(t=t):
-                _update(t, False)
+    def _dispatch(start, width):
+        skip, free = _bounds(start, width)
 
-            @pl.when(jnp.logical_not(skip) & jnp.logical_not(free))
-            def _masked(t=t):
-                _update(t, True)
+        @pl.when(jnp.logical_not(skip) & free)
+        def _unmasked():
+            _update(start, width, False)
 
+        @pl.when(jnp.logical_not(skip) & jnp.logical_not(free))
+        def _masked():
+            if width > fine:
+                for s_ in range(width // fine):
+                    _dispatch(start + s_ * fine, fine)
+            else:
+                _update(start, width, True)
+
+    for t in range(n_sub):
+        if causal or use_segments or use_window:
+            _dispatch(t * sub, sub)
         else:
-            _update(t, False)
+            _update(t * sub, sub, False)
 
     @pl.when(is_last)
     def _flush():
@@ -417,7 +459,8 @@ def _fwd_kernel(
 
 
 def pallas_block_fwd(q, k, v, scale, mask: MaskArgs, interpret=False,
-                     blk_q=None, blk_kv=None, out_dtype=None, kv_sub=None):
+                     blk_q=None, blk_kv=None, out_dtype=None, kv_sub=None,
+                     kv_fine=None):
     """q (B,Hq,Sq,D), k/v (B,Hkv,Skv,D) -> (out (B,Hq,Sq,D), lse f32 (B,Hq,Sq)).
 
     out_dtype defaults to fp32 (the merge-ready contract the schedules
@@ -452,6 +495,16 @@ def pallas_block_fwd(q, k, v, scale, mask: MaskArgs, interpret=False,
 
     use_positions = mask.q_pos is not None
     use_segments = mask.q_segids is not None
+    # masked-strip width (mixed granularity, see _fwd_kernel). Default:
+    # 256 on explicit-varlen masks (measured: recovers the multi-segment
+    # boundary-tile waste, tools/exp_varlen_blocks.py r4), full sub-tile
+    # (disabled) on batch masks where the fwd's per-strip online-softmax
+    # chain costs more than the diagonal waste it saves.
+    kv_fine = kv_fine or (
+        min(kv_sub, 256) if (use_segments or use_positions) else kv_sub
+    )
+    while kv_sub % kv_fine:
+        kv_fine //= 2
     use_alibi = mask.alibi_slopes is not None
     info, offset_static, static_offset = mask_info(mask)
     # Triangular pair enumeration needs the diagonal position at trace
@@ -476,8 +529,10 @@ def pallas_block_fwd(q, k, v, scale, mask: MaskArgs, interpret=False,
         for x in (mask.q_segids, mask.kv_segids, mask.q_pos, mask.kv_pos)
     )
     if use_meta:
+        # kv bounds at kv_fine granularity (the strip dispatch needs them;
+        # sub-tile bounds aggregate in-kernel from the strips)
         q_meta, kv_meta = block_meta(
-            mask, blk_q, blk_kv, kv_sub, n_q, n_kv,
+            mask, blk_q, blk_kv, kv_fine, n_q, n_kv,
             xp=np if static_meta else jnp,
         )
     else:
@@ -615,12 +670,14 @@ def pallas_block_fwd(q, k, v, scale, mask: MaskArgs, interpret=False,
         compact=compact,
         static_offset=static_offset,
         window_left=mask.window_left,
+        window_right=None if causal else mask.window_right,
         softcap=mask.softcap,
         use_alibi=use_alibi,
         dropout_p=mask.dropout_p,
         blk_q=blk_q,
         blk_kv=blk_kv,
         sub=kv_sub,
+        fine=kv_fine,
         num_kv_blocks=n_kv,
     )
 

@@ -280,3 +280,52 @@ def test_sliding_window_flash(data):
     g2 = jax.grad(loss_ref, (0, 1, 2))(q, k, v)
     for a, b in zip(g1, g2):
         assert jnp.max(jnp.abs(a - b)) < 1e-4
+
+
+@pytest.mark.parametrize("win", [(64, 32), (-1, 32), (64, -1), (100, 0)])
+def test_noncausal_window_flash(data, win):
+    """Non-causal (l, r) windows on the single-device path — flash-attn
+    window semantics the reference forwards verbatim
+    (reference ring_flash_attn.py:44-52); round-4 parity item."""
+    q, k, v = data
+    wl, wr = win
+    out = rfa.flash_attn_func(q, k, v, causal=False, window_size=win)
+
+    qi, ki, vi = (jnp.swapaxes(x, 1, 2) for x in (q, k, v))
+    g = HQ // HKV
+    i = jnp.arange(S)
+    diff = i[:, None] - i[None, :]
+    allowed = jnp.ones((S, S), bool)
+    if wl >= 0:
+        allowed &= diff <= wl
+    if wr >= 0:
+        allowed &= diff >= -wr
+
+    def ref_out(qi, ki, vi):
+        qf = qi.astype(jnp.float32).reshape(B, HKV, g, S, D)
+        logits = jnp.einsum("bhgqd,bhkd->bhgqk", qf, ki) * D**-0.5
+        logits = jnp.where(allowed, logits, -jnp.inf)
+        p = jax.nn.softmax(logits, -1)
+        return jnp.einsum("bhgqk,bhkd->bhgqd", p, vi).reshape(B, HQ, S, D)
+
+    ref = ref_out(qi, ki, vi)
+    assert jnp.max(jnp.abs(jnp.swapaxes(out, 1, 2) - ref)) < 2e-5
+
+    dout = jax.random.normal(jax.random.PRNGKey(7), q.shape, jnp.float32)
+
+    def loss(q, k, v):
+        return jnp.sum(
+            rfa.flash_attn_func(q, k, v, causal=False, window_size=win)
+            * dout
+        )
+
+    def loss_ref(q, k, v):
+        qi, ki, vi = (jnp.swapaxes(x, 1, 2) for x in (q, k, v))
+        return jnp.sum(
+            jnp.swapaxes(ref_out(qi, ki, vi), 1, 2) * dout
+        )
+
+    g1 = jax.grad(loss, (0, 1, 2))(q, k, v)
+    g2 = jax.grad(loss_ref, (0, 1, 2))(q, k, v)
+    for a, b in zip(g1, g2):
+        assert jnp.max(jnp.abs(a - b)) < 1e-4

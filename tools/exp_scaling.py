@@ -1,12 +1,20 @@
 """Context-length scaling of the causal flash kernels (single chip).
 
 Replaces the round-2 wall-clock 32k datum with slope-harness numbers:
-fwd and fwd+bwd at S = 8k / 16k / 32k, reference head config (32q/8kv,
+fwd and fwd+bwd at S = 8k ... 131k, reference head config (32q/8kv,
 D=128, causal bf16, B=1). %-of-peak uses the causal triangle FLOPs.
+
+Past S=32k the fused backward's resident dk/dv accumulators exceed the
+32MB VMEM gate (ops/pallas_bwd_fused.FUSED_MAX_KV_BYTES) and the split
+dq/dkv kernels take over — the regime BASELINE.md's 512k north star lives
+in (VERDICT r3 item 6); this records the crossover.
 
 Run alone (no concurrent chip jobs):
   PYTHONPATH=/root/.axon_site:/root/repo python -u tools/exp_scaling.py
+      [--long]   also run 65k/131k (several minutes of compile)
 """
+
+import sys
 
 import jax
 import jax.numpy as jnp
@@ -49,7 +57,10 @@ def run(s):
 
 
 def main():
-    for s in (8192, 16384, 32768):
+    sizes = [8192, 16384, 32768]
+    if "--long" in sys.argv:
+        sizes += [65536, 131072]
+    for s in sizes:
         run(s)
 
 

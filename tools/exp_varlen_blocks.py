@@ -8,7 +8,10 @@ real chip at the reference's packed-8k varlen benchmark shapes
 (reference benchmark/benchmark_varlen_kvpacked_func.py:53-60) to see how
 much finer tiling recovers.
 
-Usage: python tools/exp_varlen_blocks.py [--fwd-only]
+The sweep is forward-only (the bwd optimum is tracked separately by
+tools/exp_bwd_r4.py's varlen section).
+
+Usage: python tools/exp_varlen_blocks.py [-n ITERS]
 """
 
 import os

@@ -96,8 +96,14 @@ def main():
         seg_np, pos_np = map(
             np.asarray, zigzag_varlen_info(cu_half, T, 0, 1)
         )
+        # packed_self=True: the grouped layout satisfies the packed-self
+        # contract (within-sequence order preserved per half), so the
+        # baseline gets the same compact/triangular grid enumeration the
+        # api path and the README varlen table use (api.py sets it; an r3
+        # baseline without it ran the full rectangular grid and understated
+        # the schedule overhead — ADVICE r3)
         mask = MaskArgs(causal=True, q_segids=seg_np, kv_segids=seg_np,
-                        q_pos=pos_np, kv_pos=pos_np)
+                        q_pos=pos_np, kv_pos=pos_np, packed_self=True)
 
         def loss(q_, k_, v_, dout_, mask=mask):
             o, _ = flash_attention(q_, k_, v_, SCALE, mask)
@@ -135,7 +141,7 @@ def main():
         print(f"  raw varlen kernel : {t_raw*1e3:7.2f} ms "
               f"({flops/t_raw/PEAK*100:4.1f}% peak)")
         print(f"  zigzag-varlen W=1 : {t_zz*1e3:7.2f} ms "
-              f"(+{(t_zz/t_raw-1)*100:4.1f}% schedule overhead)")
+              f"({(t_zz/t_raw-1)*100:+5.1f}% schedule overhead)")
 
 
 if __name__ == "__main__":

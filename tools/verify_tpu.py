@@ -206,6 +206,178 @@ def check_fused_ring_w1(sq=4096, d=128):
         )
 
 
+def _w1_grad_vs_oracle(name, sched_fn, oracle_mask, *, hq=8, hkv=2,
+                       sq=4096, d=128, seg=None, pos=None, seed=2):
+    """Generic W=1 shard_map fwd+bwd check: `sched_fn(q, k, v[, seg, pos])`
+    runs inside a 1-device mesh; gradients must match the single-chip flash
+    oracle under `oracle_mask`. At W=1 every schedule's layout transform is
+    the identity (or a pure permutation already applied to the oracle's
+    metadata), so this exercises the full schedule machinery — ppermute
+    stubs, custom-vjp dual rings, traced-offset kernels — Mosaic-compiled,
+    which the CPU-mesh pytest suite cannot (VERDICT r3 weak #5)."""
+    from jax.sharding import Mesh, PartitionSpec as P
+    from jax import shard_map
+    from ring_flash_attn_tpu.ops.flash import flash_attention
+
+    b = 1
+    ks = jax.random.split(jax.random.PRNGKey(seed), 4)
+    q = jax.random.normal(ks[0], (b, hq, sq, d), jnp.bfloat16)
+    k = jax.random.normal(ks[1], (b, hkv, sq, d), jnp.bfloat16)
+    v = jax.random.normal(ks[2], (b, hkv, sq, d), jnp.bfloat16)
+    dout = jax.random.normal(ks[3], (b, hq, sq, d), jnp.bfloat16)
+    mesh = Mesh(np.array(jax.devices()[:1]), ("sp",))
+
+    varlen = seg is not None
+    extra = (jnp.asarray(seg, jnp.int32), jnp.asarray(pos, jnp.int32)) if \
+        varlen else ()
+
+    def step(q, k, v, *extra):
+        def loss(q, k, v):
+            o, _ = sched_fn(q, k, v, *extra)
+            return jnp.sum(o.astype(jnp.float32) * dout.astype(jnp.float32))
+
+        return jax.grad(loss, (0, 1, 2))(q, k, v)
+
+    sharded = jax.jit(
+        shard_map(
+            step, mesh=mesh,
+            in_specs=(P(None, None, "sp"),) * 3 + (P("sp"),) * len(extra),
+            out_specs=(P(None, None, "sp"),) * 3,
+            check_vma=False,
+        )
+    )
+    got = sharded(q, k, v, *extra)
+
+    def ref_loss(q, k, v):
+        o, _ = flash_attention(q, k, v, d**-0.5, oracle_mask,
+                               backend="pallas")
+        return jnp.sum(o.astype(jnp.float32) * dout.astype(jnp.float32))
+
+    ref = jax.jit(jax.grad(ref_loss, (0, 1, 2)))(q, k, v)
+    for gname, a, b_ in zip(("dq", "dk", "dv"), got, ref):
+        _report(
+            name, gname,
+            float(jnp.max(jnp.abs(a.astype(jnp.float32)
+                                  - b_.astype(jnp.float32)))),
+            TOL_GRAD,
+        )
+
+
+def check_all_schedules_w1(sq=4096, d=128):
+    """Every distributed schedule on real silicon at W=1 (VERDICT r3 item
+    3): ring, ring-varlen, zigzag-varlen, stripe, llama3, ulysses — each
+    vs the single-chip flash oracle, fwd+bwd. (zigzag and the fused ring
+    have their own dedicated checks.) At W=1 the stripe/zigzag layouts are
+    the identity and the varlen grouped layout is the identity permutation,
+    so the oracle is plain flash with the same mask metadata."""
+    import functools
+
+    from ring_flash_attn_tpu.ops.varlen import (
+        ring_varlen_info,
+        zigzag_varlen_info,
+    )
+    from ring_flash_attn_tpu.parallel.llama3 import llama3_attention
+    from ring_flash_attn_tpu.parallel.ring import ring_attention
+    from ring_flash_attn_tpu.parallel.ring_varlen import ring_attention_varlen
+    from ring_flash_attn_tpu.parallel.stripe import stripe_attention
+    from ring_flash_attn_tpu.parallel.ulysses import ulysses_attention
+    from ring_flash_attn_tpu.parallel.zigzag_varlen import (
+        zigzag_ring_attention_varlen,
+    )
+
+    scale = d**-0.5
+    causal = MaskArgs(causal=True)
+
+    _w1_grad_vs_oracle(
+        "ring-w1",
+        functools.partial(ring_attention, scale=scale, causal=True,
+                          axis_name="sp", backend="pallas"),
+        causal, sq=sq, d=d,
+    )
+    _w1_grad_vs_oracle(
+        "stripe-w1",
+        functools.partial(stripe_attention, scale=scale, axis_name="sp",
+                          backend="pallas"),
+        causal, sq=sq, d=d,
+    )
+    _w1_grad_vs_oracle(
+        "llama3-w1",
+        functools.partial(llama3_attention, scale=scale, causal=True,
+                          axis_name="sp", backend="pallas"),
+        causal, sq=sq, d=d,
+    )
+    _w1_grad_vs_oracle(
+        "ulysses-w1",
+        functools.partial(ulysses_attention, scale=scale, causal=True,
+                          axis_name="sp", backend="pallas"),
+        causal, sq=sq, d=d,
+    )
+
+    # varlen rings: packing with block-misaligned boundaries; W=1 grouped
+    # layout == identity, so the oracle mask carries the same (np, compact
+    # grid) metadata the schedule derives per-step (traced)
+    cu = np.array([0, 1000, 2600, 3200, sq])
+    rseg, rpos = map(np.asarray, ring_varlen_info(cu, sq, 0))
+    _w1_grad_vs_oracle(
+        "ring-varlen-w1",
+        functools.partial(ring_attention_varlen, scale=scale, causal=True,
+                          axis_name="sp", backend="pallas"),
+        MaskArgs(causal=True, q_segids=rseg, kv_segids=rseg,
+                 q_pos=rpos, kv_pos=rpos, packed_self=True),
+        sq=sq, d=d, seg=rseg, pos=rpos,
+    )
+    zseg, zpos = map(np.asarray, zigzag_varlen_info(cu // 2, sq, 0, 1))
+    _w1_grad_vs_oracle(
+        "zigzag-varlen-w1",
+        functools.partial(zigzag_ring_attention_varlen, scale=scale,
+                          axis_name="sp", backend="pallas"),
+        MaskArgs(causal=True, q_segids=zseg, kv_segids=zseg,
+                 q_pos=zpos, kv_pos=zpos, packed_self=True),
+        sq=sq, d=d, seg=zseg, pos=zpos,
+    )
+
+
+def check_serving_engine():
+    """Tiny on-chip ServingEngine run: the whole serving stack — paged
+    allocator, chunked prefill, masked decode appends, GSPMD-free single
+    chip — greedy-decodes exactly what the dense model produces (the
+    CPU-mesh test's assertion, on real silicon; VERDICT r3 item 3)."""
+    from ring_flash_attn_tpu.models import ModelConfig
+    from ring_flash_attn_tpu.models.serve import ServingEngine
+    from ring_flash_attn_tpu.models.transformer import forward, init_params
+
+    cfg = ModelConfig(vocab=61, dim=32, layers=2, heads=4, kv_heads=2,
+                      head_dim=16, mlp_dim=64, dtype="float32")
+    params = init_params(jax.random.PRNGKey(0), cfg)
+    rng = np.random.RandomState(3)
+    eng = ServingEngine(params, cfg, num_pages=20, page_size=8,
+                        pages_per_seq=6, max_batch=2, reserve=1)
+    specs = {0: (11, 3), 1: (19, 4), 2: (5, 4)}
+    prompts = {
+        rid: rng.randint(0, cfg.vocab, size=plen).astype(np.int32)
+        for rid, (plen, _new) in specs.items()
+    }
+    for rid, (_plen, new) in specs.items():
+        eng.submit(rid, prompts[rid], new)
+    outputs = eng.run(max_steps=40)
+
+    for rid, (_plen, new) in specs.items():
+        toks = list(prompts[rid])
+        want = []
+        for _ in range(new):
+            t = jnp.asarray(toks, jnp.int32)[None]
+            logits = forward(params, cfg, t,
+                             jnp.arange(len(toks), dtype=jnp.int32))
+            nxt = int(jnp.argmax(logits[0, -1]))
+            want.append(nxt)
+            toks.append(nxt)
+        ok = outputs[rid] == want
+        print(f"  {'ok  ' if ok else 'FAIL'} serving-engine req{rid}   "
+              f"greedy tokens {'match' if ok else (outputs[rid], want)}")
+        if not ok:
+            FAILURES.append(("serving-engine", rid, outputs[rid], want))
+
+
 def check_decode_kernels():
     """Serving-path kernels Mosaic-compiled: quantized contiguous decode,
     paged decode, and quantized paged decode vs their XLA oracles."""
@@ -336,6 +508,10 @@ def main():
     check_case(
         "window", MaskArgs(causal=True, window_left=1500), **shape
     )
+    check_case(
+        "window-bidir",
+        MaskArgs(causal=False, window_left=1500, window_right=700), **shape
+    )
     check_case("softcap", MaskArgs(causal=True, softcap=30.0), **shape)
     check_case(
         "alibi", MaskArgs(causal=True, alibi_slopes=jnp.asarray(slopes)),
@@ -354,7 +530,9 @@ def main():
     if not args.quick:
         check_schedule_w1()
         check_fused_ring_w1()
+        check_all_schedules_w1()
         check_decode_kernels()
+        check_serving_engine()
 
     if FAILURES:
         print(f"\n{len(FAILURES)} FAILURES:")
