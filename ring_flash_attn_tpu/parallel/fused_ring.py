@@ -87,7 +87,7 @@ def _fused_ring_fwd_kernel(
             # final lse (one array instead of several: VMEM tiles are 128
             # lanes wide regardless, so packing single-lane stats shares
             # the allocation)
-    q_buf,  # VMEM (blk_q, D) — streamed q block
+    q_buf,  # VMEM (2, blk_q, D) — double-buffered streamed q blocks
     out_stage,  # VMEM (blk_q, D) out-dtype staging for the final DMA
     stream_sem,  # DMA (2,)
     send_sem,  # DMA (2,)
@@ -121,13 +121,12 @@ def _fused_ring_fwd_kernel(
     n_kb = l_local // blk_kv
     kv_dtype = k_ref.dtype
 
-    def _load_q(g, qb):
-        c = pltpu.make_async_copy(
+    def _q_copy(g, qb, slot):
+        """Async-copy descriptor for q block qb into stream slot `slot`."""
+        return pltpu.make_async_copy(
             q_hbm.at[b_id, hk * group + g, pl.ds(qb * blk_q, blk_q), :],
-            q_buf, stream_sem.at[0],
+            q_buf.at[slot], stream_sem.at[slot],
         )
-        c.start()
-        c.wait()
 
     def _attend(kk_ref, vv_ref, diagonal, kv_rank):
         """Online-softmax update of (m, l, acc) with the resident kv
@@ -137,6 +136,13 @@ def _fused_ring_fwd_kernel(
         unrolled group x n_qb x n_kb body explodes compile time) and
         logits intermediates stay (blk_q, blk_kv).
 
+        The q stream is DOUBLE-BUFFERED (round 4): block qb+1's DMA is
+        started before block qb's compute, so the HBM fetch hides behind
+        the matmuls — the manual-stream analog of the grid pipeliner's
+        prefetch the dedicated kernels get (this was the measured +10.3%
+        W=1 overhead, DESIGN.md 7c). Slots/semaphores are indexed
+        statically via a pair-unrolled loop body.
+
         diagonal=True applies the local causal mask (step 0) and bounds
         the KV chunk loop at each q block's diagonal; later steps are
         mask-free for every rank that computes — the reference's case
@@ -144,10 +150,8 @@ def _fused_ring_fwd_kernel(
         rank of the resident kv: ALiBi distances need GLOBAL positions,
         q at rank*L + row and kv at kv_rank*L + col."""
         for g in range(group):
-            def qb_body(qb, _, g=g):
+            def _q_block(qb, qs, g=g):
                 row = pl.ds(qb * blk_q, blk_q)
-                _load_q(g, qb)
-                qs = q_buf[...]
                 if diagonal:
                     nkb = jnp.minimum(
                         (qb * blk_q + blk_q - 1) // blk_kv + 1, n_kb
@@ -209,9 +213,37 @@ def _fused_ring_fwd_kernel(
                     return 0
 
                 jax.lax.fori_loop(0, nkb, kb_body, 0)
-                return 0
 
-            jax.lax.fori_loop(0, n_qb, qb_body, 0)
+            if n_qb % 2 == 0:
+                # pair-unrolled double buffering: prefetch the odd block
+                # while computing the even one and vice versa; slot and
+                # semaphore indices stay static
+                _q_copy(g, 0, 0).start()
+
+                def pair_body(p, _, g=g):
+                    qb0 = 2 * p
+                    _q_copy(g, qb0 + 1, 1).start()
+                    _q_copy(g, qb0, 0).wait()
+                    _q_block(qb0, q_buf[0], g)
+
+                    @pl.when(qb0 + 2 < n_qb)
+                    def _():
+                        _q_copy(g, qb0 + 2, 0).start()
+
+                    _q_copy(g, qb0 + 1, 1).wait()
+                    _q_block(qb0 + 1, q_buf[1], g)
+                    return 0
+
+                jax.lax.fori_loop(0, n_qb // 2, pair_body, 0)
+            else:
+                def qb_body(qb, _, g=g):
+                    c = _q_copy(g, qb, 0)
+                    c.start()
+                    c.wait()
+                    _q_block(qb, q_buf[0], g)
+                    return 0
+
+                jax.lax.fori_loop(0, n_qb, qb_body, 0)
 
     def _send(src_k, src_v, slot):
         """RDMA the resident kv into the next rank's comm[slot]."""
@@ -418,7 +450,7 @@ def _fused_ring_forward(q, k, v, *, scale, causal, axis_name,
             pltpu.VMEM((2, 2, l_local, d_), k.dtype),
             pltpu.VMEM((group, l_local, d_), jnp.float32),
             pltpu.VMEM((group, l_local, 128), jnp.float32),
-            pltpu.VMEM((blk_q, d_), q.dtype),
+            pltpu.VMEM((2, blk_q, d_), q.dtype),  # double-buffered q stream
             pltpu.VMEM((blk_q, d_), q.dtype),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
@@ -457,10 +489,10 @@ def _fused_ring_bwd_kernel(
     dq_acc,  # VMEM (group, L, D) f32 — local dq accumulator (all steps)
     dk_s,  # VMEM (L, D) f32 — this step's local contributions
     dv_s,  # VMEM (L, D) f32
-    q_buf,  # VMEM (blk_q, D) kv-dtype — streamed q block
-    dout_buf,  # VMEM (blk_q, D) kv-dtype — streamed dout block
-    out_buf,  # VMEM (blk_q, D) kv-dtype — streamed forward-out block
-    stream_sem,  # DMA (4,)
+    q_buf,  # VMEM (2, blk_q, D) kv-dtype — double-buffered q stream
+    dout_buf,  # VMEM (2, blk_q, D) kv-dtype — double-buffered dout stream
+    out_buf,  # VMEM (2, blk_q, D) kv-dtype — double-buffered fwd-out stream
+    stream_sem,  # DMA (8,): (array, slot) pairs 0-5, flush 6-7
     kv_send_sem,  # DMA (2,)
     kv_recv_sem,  # DMA (2,)
     dkv_send_sem,  # DMA (2,)
@@ -494,24 +526,32 @@ def _fused_ring_bwd_kernel(
 
     dq_acc[...] = jnp.zeros_like(dq_acc)
 
-    def _stream_blocks(g, qb):
-        """DMA this q block's q, dout, and forward-out from HBM."""
+    def _blk_copies(g, qb, slot):
+        """Descriptors for q block qb's q/dout/forward-out DMAs, slot 0/1
+        (one semaphore per (array, slot): indices 0-5)."""
         row = pl.ds(qb * blk_q, blk_q)
         h = hk * group + g
-        copies = [
+        return [
             pltpu.make_async_copy(
-                qs_hbm.at[b_id, h, row, :], q_buf, stream_sem.at[0]
+                qs_hbm.at[b_id, h, row, :], q_buf.at[slot],
+                stream_sem.at[slot],
             ),
             pltpu.make_async_copy(
-                dout_hbm.at[b_id, h, row, :], dout_buf, stream_sem.at[1]
+                dout_hbm.at[b_id, h, row, :], dout_buf.at[slot],
+                stream_sem.at[2 + slot],
             ),
             pltpu.make_async_copy(
-                out_hbm.at[b_id, h, row, :], out_buf, stream_sem.at[2]
+                out_hbm.at[b_id, h, row, :], out_buf.at[slot],
+                stream_sem.at[4 + slot],
             ),
         ]
-        for c in copies:
+
+    def _start_blocks(g, qb, slot):
+        for c in _blk_copies(g, qb, slot):
             c.start()
-        for c in copies:
+
+    def _wait_blocks(g, qb, slot):
+        for c in _blk_copies(g, qb, slot):
             c.wait()
 
     kv_dtype = k_ref.dtype
@@ -521,22 +561,23 @@ def _fused_ring_bwd_kernel(
         against the resident kv ((L, D) sub-refs: kk raw k, vv pre-scaled
         v). q blocks and KV chunks iterate via lax.fori_loop — compact
         Mosaic program at production shapes, (blk_q, blk_kv) logits
-        intermediates (see _attend in the forward kernel).
+        intermediates (see _attend in the forward kernel). The
+        q/dout/out streams are double-buffered with a pair-unrolled loop
+        exactly as in _attend (round 4).
 
         diagonal=True is step 0 (local causal): the KV chunk loop is
         bounded at each q block's diagonal and chunks pay the mask.
         kv_rank (traced) = source rank of the resident kv, for ALiBi's
         global distances (mirrors _attend)."""
         for g in range(group):
-            def qb_body(qb, _, g=g):
-                _stream_blocks(g, qb)
+            def _q_block(qb, slot, g=g):
                 row = pl.ds(qb * blk_q, blk_q)
-                qs_blk = q_buf[...]
-                dout_blk = dout_buf[...]
+                qs_blk = q_buf[slot]
+                dout_blk = dout_buf[slot]
                 lse_col = lse_ref[0, g, row, :]
                 delta_col = jnp.float32(scale) * jnp.sum(
                     dout_blk.astype(jnp.float32)
-                    * out_buf[...].astype(jnp.float32),
+                    * out_buf[slot].astype(jnp.float32),
                     axis=1, keepdims=True,
                 )
                 if diagonal:
@@ -608,9 +649,33 @@ def _fused_ring_bwd_kernel(
                     return 0
 
                 jax.lax.fori_loop(0, nkb, kb_body, 0)
-                return 0
 
-            jax.lax.fori_loop(0, n_qb, qb_body, 0)
+            if n_qb % 2 == 0:
+                _start_blocks(g, 0, 0)
+
+                def pair_body(p, _, g=g):
+                    qb0 = 2 * p
+                    _start_blocks(g, qb0 + 1, 1)
+                    _wait_blocks(g, qb0, 0)
+                    _q_block(qb0, 0, g)
+
+                    @pl.when(qb0 + 2 < n_qb)
+                    def _():
+                        _start_blocks(g, qb0 + 2, 0)
+
+                    _wait_blocks(g, qb0 + 1, 1)
+                    _q_block(qb0 + 1, 1, g)
+                    return 0
+
+                jax.lax.fori_loop(0, n_qb // 2, pair_body, 0)
+            else:
+                def qb_body(qb, _, g=g):
+                    _start_blocks(g, qb, 0)
+                    _wait_blocks(g, qb, 0)
+                    _q_block(qb, 0, g)
+                    return 0
+
+                jax.lax.fori_loop(0, n_qb, qb_body, 0)
 
     def _rdma(src_ref, dst_ref, send_sem, recv_sem, device_id):
         return pltpu.make_async_remote_copy(
@@ -852,10 +917,10 @@ def _fused_ring_backward(q, k, v, dout, out, lse, *, scale, causal,
             pltpu.VMEM((group, l_local, d_), jnp.float32),
             pltpu.VMEM((l_local, d_), jnp.float32),
             pltpu.VMEM((l_local, d_), jnp.float32),
-            pltpu.VMEM((blk_q, d_), k.dtype),
-            pltpu.VMEM((blk_q, d_), k.dtype),
-            pltpu.VMEM((blk_q, d_), k.dtype),
-            pltpu.SemaphoreType.DMA((4,)),
+            pltpu.VMEM((2, blk_q, d_), k.dtype),
+            pltpu.VMEM((2, blk_q, d_), k.dtype),
+            pltpu.VMEM((2, blk_q, d_), k.dtype),
+            pltpu.SemaphoreType.DMA((8,)),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),
             pltpu.SemaphoreType.DMA((2,)),

@@ -98,6 +98,41 @@ def test_fused_bwd_skipping_matches_naive(case):
         )
 
 
+@pytest.mark.parametrize("case", sorted(CASES))
+def test_fwd_strips_match_naive(case):
+    """Mixed-granularity masked strips (round 4, kv_fine < kv_sub): masked
+    sub-tiles re-dispatch in fine strips; results must be identical."""
+    q, k, v, _ = _data()
+    mask = CASES[case]
+    o1, l1 = naive_block_fwd(q, k, v, SCALE, mask)
+    o2, l2 = pallas_block_fwd(q, k, v, SCALE, mask, interpret=True,
+                              kv_fine=16, **BLK)
+    np.testing.assert_allclose(np.asarray(o2), np.asarray(o1), atol=2e-5)
+    np.testing.assert_allclose(np.asarray(l2), np.asarray(l1), atol=2e-5)
+
+
+@pytest.mark.parametrize(
+    "case", ["varlen_causal", "varlen_window", "shuffled_segs",
+             "window_batch"]
+)
+def test_fused_bwd_strips_match_naive(case):
+    """Strips + in-kernel delta + narrow dk/dv together (round 4)."""
+    q, k, v, do = _data()
+    mask = CASES[case]
+    out, lse = naive_block_fwd(q, k, v, SCALE, mask)
+    r1 = naive_block_bwd(
+        do, q, k, v, lse, compute_delta(do, out), SCALE, mask
+    )
+    r2 = pallas_block_bwd_fused(
+        do, q, k, v, lse, None, SCALE, mask, interpret=True,
+        out=out.astype(q.dtype), kv_fine=16, dkv_dtype=jnp.float32, **BLK
+    )
+    for g1, g2, name in zip(r1, r2, "dq dk dv".split()):
+        np.testing.assert_allclose(
+            np.asarray(g2), np.asarray(g1), atol=5e-5, err_msg=name
+        )
+
+
 def test_disjoint_shards_all_skipped():
     """Ring-step shape: q's segments never appear in kv — every tile is
     skipped, out must be exactly 0 / lse exactly NEG_INF (dead rows)."""
