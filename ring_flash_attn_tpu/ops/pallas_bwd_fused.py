@@ -400,12 +400,19 @@ def pallas_block_bwd_fused(dout, q, k, v, lse, delta, scale,
     kv_sub = kv_sub or min(blk_kv, 1024)
     while blk_kv % kv_sub:
         kv_sub //= 2
-    # masked-strip width: 256 measured best on the causal headline shape
-    # (tools/exp_bwd_r4.py: 8.54 ms vs 8.74 at 512, 9.03 with strips off —
-    # the bwd amortizes 5 matmuls per strip, so finer masking pays where
-    # the fwd's per-strip softmax chain would not); kv_fine == kv_sub
-    # disables the strip pass
-    kv_fine = kv_fine or min(kv_sub, 256)
+    # masked-strip width (r4 sweeps, tools/exp_bwd_r4.py + the varlen
+    # probe): 256 on implicit-coordinate (batch) masks — 8.54 ms vs 9.03
+    # with strips off on the causal headline shape; 512 on explicit
+    # positions/segments masks, where 256 COLLAPSES (1-seg 8.84 -> 22.4 ms:
+    # the per-strip scalar-meta aggregation serializes the positions
+    # branch) while 512 still beats strips-off on every packing (2-seg
+    # 64.9 -> 71.7%, 5-seg 30.5 -> 39.9%). kv_fine == kv_sub disables the
+    # strip pass.
+    kv_fine = kv_fine or (
+        min(kv_sub, 512) if (mask.q_pos is not None
+                             or mask.q_segids is not None)
+        else min(kv_sub, 256)
+    )
     while kv_sub % kv_fine:
         kv_fine //= 2
     assert sq % blk_q == 0 and skv % blk_kv == 0, (sq, blk_q, skv, blk_kv)

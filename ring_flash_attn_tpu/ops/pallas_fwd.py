@@ -496,13 +496,12 @@ def pallas_block_fwd(q, k, v, scale, mask: MaskArgs, interpret=False,
     use_positions = mask.q_pos is not None
     use_segments = mask.q_segids is not None
     # masked-strip width (mixed granularity, see _fwd_kernel). Default:
-    # 256 on explicit-varlen masks (measured: recovers the multi-segment
-    # boundary-tile waste, tools/exp_varlen_blocks.py r4), full sub-tile
-    # (disabled) on batch masks where the fwd's per-strip online-softmax
-    # chain costs more than the diagonal waste it saves.
-    kv_fine = kv_fine or (
-        min(kv_sub, 256) if (use_segments or use_positions) else kv_sub
-    )
+    # DISABLED (== kv_sub) for the forward — measured a consistent loss on
+    # every packing (r4 sweep: 1-seg 60.5% -> 47.8% at fine=256, 5-seg
+    # 31.8% -> 23.7% at 512): each strip repeats the full-width
+    # online-softmax VPU chain (m/l/acc rescale over (blk_q, D)), which
+    # the bwd does not pay. Available as an explicit opt-in.
+    kv_fine = kv_fine or kv_sub
     while kv_sub % kv_fine:
         kv_fine //= 2
     use_alibi = mask.alibi_slopes is not None
