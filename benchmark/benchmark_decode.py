@@ -70,10 +70,10 @@ def bench_quant_decode():
     return dt
 
 
-def bench_paged(quant):
+def bench_paged(quant, page=256):
     from ring_flash_attn_tpu.ops import paged
 
-    B, ctx, page = 4, 8192, 256
+    B, ctx = 4, 8192
     pages_per_seq = ctx // page
     if quant:
         cache = paged.paged_quant_init(
@@ -122,6 +122,10 @@ def main():
     bench_quant_decode()
     bench_paged(quant=False)
     bench_paged(quant=True)
+    # int8 at pg=256 is DMA-transfer-size-bound (256KB K pages through
+    # the block-table gather); pg=512 restores bf16-sized transfers and
+    # with it the bf16 kernel's ~88%-of-SoL efficiency at half the bytes
+    bench_paged(quant=True, page=512)
 
 
 if __name__ == "__main__":

@@ -46,6 +46,14 @@ from jax.experimental.pallas import tpu as pltpu
 
 from .mask import NEG_INF
 
+# int8 paged decode: run the PV matmul int8-native (quantize p per row)
+# instead of dequantizing the V page to bf16. A/B-toggled by
+# tools/exp_int8_pv.py; the measured winner is the default: dequant PV
+# (110.7 vs 117.8 us at B=4x8k pg=256 — the V int8->bf16 cast fuses into
+# the MXU operand load, while p's rowmax/divide/round chain is real VPU
+# work; round-4 negative result, DESIGN.md 7c2).
+_INT8_NATIVE_PV = False
+
 
 class PagedKVCache(NamedTuple):
     k_pages: jnp.ndarray  # (num_pages, Hkv, page_size, D)
@@ -557,7 +565,8 @@ def paged_quant_append(cache: QuantPagedKVCache, k_new, v_new, mask=None):
 
 
 def paged_quant_decode_attention(q, cache: QuantPagedKVCache, scale,
-                                 softcap=None, backend=None):
+                                 softcap=None, backend=None,
+                                 pages_per_step=None):
     """Decode attention against the quantized paged cache; same (out, lse)
     partial contract as paged_decode_attention."""
     from ..config import get_backend
@@ -568,6 +577,7 @@ def paged_quant_decode_attention(q, cache: QuantPagedKVCache, scale,
     return _pallas_quant_paged_decode(
         q, cache, scale, softcap,
         interpret=(resolved == "pallas_interpret"),
+        pages_per_step=pages_per_step,
     )
 
 
@@ -614,6 +624,7 @@ def _quant_paged_kernel(
     fanout,
     int8_qk,
 ):
+    int8_pv = int8_qk and _INT8_NATIVE_PV
     it = iter(refs)
     q_ref = next(it)  # (1, Hkv*rows, D): int8 rows when int8_qk, else f32
     qs_ref = next(it) if int8_qk else None  # (1, Hkv*rows, 1) f32 row scales
@@ -692,12 +703,31 @@ def _quant_paged_kernel(
             l_s[:, :1] = l_s[:, :1] * alpha + jnp.sum(
                 p, axis=1, keepdims=True
             )
-            pv = (p * vs_refs[f][0]).astype(jnp.bfloat16)
-            acc_s[...] = acc_s[...] * alpha + jax.lax.dot_general(
-                pv, v_refs[f][0].astype(jnp.bfloat16),
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-            )
+            pv_f = p * vs_refs[f][0]  # fold per-token v scales (contracted
+            # dim — they cannot move past the matmul)
+            if int8_pv:
+                # int8-NATIVE PV: quantize the probability operand per row
+                # (values in [0, rowmax], so round(pv/rowmax*127) is exact
+                # at the max and ~0.4% relative elsewhere — far inside the
+                # cache's own int8 error) and feed the page's int8 V to
+                # the MXU directly. Deletes the (Hkv*ps, D) per-element V
+                # dequant cast, 4x the p-side element count.
+                row_s = jnp.maximum(
+                    jnp.max(pv_f, axis=1, keepdims=True) / 127.0, 1e-20
+                )
+                pq = jnp.round(pv_f / row_s).astype(jnp.int8)
+                acc_s[...] = acc_s[...] * alpha + row_s * jax.lax.dot_general(
+                    pq, v_refs[f][0],
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.int32,
+                ).astype(jnp.float32)
+            else:
+                acc_s[...] = acc_s[...] * alpha + jax.lax.dot_general(
+                    pv_f.astype(jnp.bfloat16),
+                    v_refs[f][0].astype(jnp.bfloat16),
+                    dimension_numbers=(((1,), (0,)), ((), ())),
+                    preferred_element_type=jnp.float32,
+                )
             m_s[:, :1] = m_new
 
     @pl.when(i == pl.num_programs(1) - 1)
@@ -719,7 +749,14 @@ def _pallas_quant_paged_decode(q, cache, scale, softcap, interpret=False,
     rows = g * tq
     npages = cache.block_tables.shape[1]
     if pages_per_step is None:
-        pages_per_step = max(1, min(8, npages))
+        # keep ~1MB of K pages in flight per grid step: quantized pages
+        # are 1-byte, so a fixed fanout=8 leaves the block-table gather
+        # DMAs too small to reach HBM bandwidth (r4 sweep,
+        # tools/exp_int8_pv.py: pg=256 fanout 4/8/16 -> 76.3/75.9/72.8%
+        # of SoL; pg=512 fanout 2 -> 87.5%, matching the bf16 kernel)
+        page_k_bytes = hkv * ps * d * cache.k_pages.dtype.itemsize
+        pages_per_step = max(1, min(8, npages,
+                                    (1 << 20) // max(page_k_bytes, 1)))
     while npages % pages_per_step:
         pages_per_step -= 1
     f_n = pages_per_step

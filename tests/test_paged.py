@@ -166,7 +166,10 @@ def test_quant_paged_decode_vs_oracle(filled, qdtype, tol):
     assert jnp.max(jnp.abs(go - ro)) < tol, qdtype
     po, plse = paged_quant_decode_attention(q, qc, SCALE,
                                             backend="pallas_interpret")
-    # pallas vs xla on the SAME quantized cache: tight
+    # pallas vs xla on the SAME quantized cache: tight (the production
+    # kernel dequantizes V to bf16 for PV — same math as the XLA path;
+    # flipping paged._INT8_NATIVE_PV adds ~1e-2 of p-quantization error,
+    # a measured-slower experiment, so it is not the default)
     assert jnp.max(jnp.abs(po - go)) < 5e-3
     assert jnp.max(jnp.abs(plse - gl)) < 5e-3
 
