@@ -229,12 +229,26 @@ def _batch_variant(schedule_kw):
         return_attn_probs=False, group=None, dropout_seed=None,
     ):
         kind = schedule_kw["kind"]
-        window_left = _check_unsupported(
-            dropout_p, window_size, alibi_slopes,
-            allow_window=True, allow_alibi=True, allow_dropout=True,
-        )
-        if window_left is not None and not causal:
-            raise NotImplementedError("sliding window requires causal=True")
+        if kind == "ring":
+            # ring forwards FULL flash-attn window semantics (r5): causal
+            # (left, 0) and non-causal (left, right), either side -1 =
+            # unlimited — matching the reference's batch ring, which hands
+            # window_size to flash-attn verbatim (ring_flash_attn.py:44-52)
+            window_left = window_right = None
+            if tuple(window_size) != (-1, -1):
+                if window_size[0] >= 0:
+                    window_left = int(window_size[0])
+                if window_size[1] >= 0 and not causal:
+                    window_right = int(window_size[1])
+        else:
+            window_left = _check_unsupported(
+                dropout_p, window_size, alibi_slopes,
+                allow_window=True, allow_alibi=True, allow_dropout=True,
+            )
+            if window_left is not None and not causal:
+                raise NotImplementedError(
+                    "sliding window requires causal=True"
+                )
         scale = _scale(softmax_scale, q.shape[-1])
         qi, ki, vi = map(_bshd_to_bhsd, (q, k, v))
         axis = _axis(group)
@@ -243,7 +257,7 @@ def _batch_variant(schedule_kw):
                 qi, ki, vi, scale=scale, causal=causal, axis_name=axis,
                 softcap=_cap(softcap), alibi_slopes=alibi_slopes,
                 dropout_p=dropout_p or None, dropout_seed=dropout_seed,
-                window_left=window_left,
+                window_left=window_left, window_right=window_right,
             )
         elif kind == "zigzag":
             if not causal:

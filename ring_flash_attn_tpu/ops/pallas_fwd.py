@@ -182,6 +182,7 @@ def _fwd_kernel(
     sub,
     fine,
     num_kv_blocks,
+    spec,
 ):
     it = iter(refs)
     q_ref = next(it)  # (1, 1, blk_q, D)
@@ -238,7 +239,12 @@ def _fwd_kernel(
     @pl.when(ikv == init_kv)
     def _init():
         # only lane 0 of m/l is ever read; narrow stores save VPU cycles
-        m_s[:, :1] = jnp.full((blk_q, 1), NEG_INF, jnp.float32)
+        # spec modes seed m with TRUE -inf (not the finite sentinel): it
+        # marks "reference not yet set" unambiguously — fully-skipped
+        # q-blocks flush dead off l == 0, and setonce rows promote off
+        # the -inf marker at their first live tile.
+        init_m = -jnp.inf if spec else NEG_INF
+        m_s[:, :1] = jnp.full((blk_q, 1), init_m, jnp.float32)
         l_s[:, :1] = jnp.zeros((blk_q, 1), jnp.float32)
         acc_s[...] = jnp.zeros_like(acc_s)
 
@@ -316,22 +322,86 @@ def _fwd_kernel(
             s = s - slopes_ref[h_id] * dist
         return s
 
-    def _update(start, width, masked):
+    def _update(start, width, masked, maybe_first=False):
         """Online-softmax state update with the logits of kv span
         [start, start+width) — (blk_q, width).
 
         Logits arrive in base-2 units (log2(e) folded into the k pre-scale),
         so the VPU runs native exp2 instead of exp (= exp2 + a multiply per
-        element); m/l are tracked base-2 and converted at flush."""
+        element); m/l are tracked base-2 and converted at flush.
+
+        spec mode (r5, tools/exp_fwd_r5.py): the per-sub-tile max-reduce +
+        alpha + acc rescale chain is THE forward's binding VPU cost (its
+        deletion moves the mask-free kernel 78.8 -> 92.9% of peak — the
+        max/rescale serializes the acc read-modify-write; exp2 and the row
+        sum are hidden under the MXU). spec fixes m ONCE per q-block from
+        the first computed sub-tile's row max and pure-accumulates after —
+        mathematically exact (softmax is shift-invariant; f32 is
+        scale-invariant) unless a later tile's logits exceed m_ref by
+        ~2^100, which the flush flags as lse=+inf and the wrapper repairs
+        with the exact online-softmax path (lax.cond fallback)."""
+        if spec == "first" and maybe_first:
+            # The m_ref set must NOT sit as a conditional region between
+            # the QK matmul and the exp2 of the always-taken path — that
+            # stalls Mosaic's pipelining on EVERY grid step (measured:
+            # 80.4% vs 92.9% of peak mask-free). Instead the whole
+            # first-vs-rest update is duplicated into two pl.when
+            # branches, each straight-line (matmul included).
+            @pl.when(ikv == init_kv)
+            def _first_tile():
+                _update_body(start, width, masked, True)
+
+            @pl.when(ikv != init_kv)
+            def _later_tile():
+                _update_body(start, width, masked, False)
+
+            return
+        _update_body(start, width, masked, False)
+
+    def _update_body(start, width, masked, first):
         s = _logits(start, width)
         if masked:
             s = jnp.where(_allowed(start, width), s, NEG_INF)
-        m_prev = m_s[:, :1]  # (blk_q, 1)
-        m_cur = jnp.max(s, axis=1, keepdims=True)
-        m_new = jnp.maximum(m_prev, m_cur)
-        alpha = jnp.exp2(m_prev - m_new)
-        pr = jnp.exp2(s - m_new)
-        l_new = l_s[:, :1] * alpha + jnp.sum(pr, axis=1, keepdims=True)
+        if spec == "first":
+            if first:
+                rowmax = jnp.max(s, axis=1, keepdims=True)
+                # Rows fully masked in their first computed tile get a
+                # +inf reference, so every later pr underflows to exactly
+                # 0 and the row flushes dead (l stays 0). That is EXACT
+                # for this mode's gate (plain causal, e.g. stripe's
+                # static -1 offset): a row dead at the leftmost kv tile
+                # is dead at every later tile too. Live rows always carry
+                # l >= 1 (their tile-0 argmax contributes exp2(0)).
+                m_ref = jnp.where(rowmax > NEG_INF / 2, rowmax, jnp.inf)
+                m_s[:, :1] = m_ref
+            else:
+                m_ref = m_s[:, :1]
+            pr = jnp.exp2(s - m_ref)
+            l_new = l_s[:, :1] + jnp.sum(pr, axis=1, keepdims=True)
+        elif spec == "setonce":
+            # varlen/window spec: rows become live at different tiles
+            # (segment starts, window edges), so the reference max is set
+            # per-row at its FIRST live tile — a per-tile row max plus two
+            # (blk_q,1) selects, still no alpha and no acc rescale. Rows
+            # not yet live use +inf so their (all-masked) probabilities
+            # underflow to exactly 0.
+            rowmax = jnp.max(s, axis=1, keepdims=True)
+            m_prev = m_s[:, :1]
+            m_ref = jnp.where(
+                (m_prev == -jnp.inf) & (rowmax > NEG_INF / 2),
+                rowmax, m_prev,
+            )
+            m_s[:, :1] = m_ref
+            m_eff = jnp.where(m_ref == -jnp.inf, jnp.inf, m_ref)
+            pr = jnp.exp2(s - m_eff)
+            l_new = l_s[:, :1] + jnp.sum(pr, axis=1, keepdims=True)
+        else:
+            m_prev = m_s[:, :1]  # (blk_q, 1)
+            m_cur = jnp.max(s, axis=1, keepdims=True)
+            m_new = jnp.maximum(m_prev, m_cur)
+            alpha = jnp.exp2(m_prev - m_new)
+            pr = jnp.exp2(s - m_new)
+            l_new = l_s[:, :1] * alpha + jnp.sum(pr, axis=1, keepdims=True)
         if dropout_p:
             # dropout on the (normalized-at-flush) probabilities: the l
             # statistic stays undropped, only the PV operand is masked
@@ -342,13 +412,17 @@ def _fwd_kernel(
             pr_v = pr
         # pr is cast to the V dtype for the PV matmul (flash-attention's
         # standard trick; the fp32 row statistics keep the result accurate).
-        acc_s[...] = acc_s[...] * alpha + jax.lax.dot_general(
+        pv = jax.lax.dot_general(
             pr_v.astype(v_ref.dtype),
             v_ref[0, 0, start:start + width, :],
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
         )
-        m_s[:, :1] = m_new
+        if spec:
+            acc_s[...] = acc_s[...] + pv
+        else:
+            acc_s[...] = acc_s[...] * alpha + pv
+            m_s[:, :1] = m_new
         l_s[:, :1] = l_new
 
     # Per-sub-tile three-way dispatch: SKIP (fully masked — no compute, and
@@ -419,30 +493,54 @@ def _fwd_kernel(
             free = sf if free is None else (free & sf)
         return skip, free
 
-    def _dispatch(start, width):
+    def _dispatch(start, width, maybe_first=False):
         skip, free = _bounds(start, width)
 
         @pl.when(jnp.logical_not(skip) & free)
         def _unmasked():
-            _update(start, width, False)
+            _update(start, width, False, maybe_first)
 
         @pl.when(jnp.logical_not(skip) & jnp.logical_not(free))
         def _masked():
             if width > fine:
                 for s_ in range(width // fine):
-                    _dispatch(start + s_ * fine, fine)
+                    _dispatch(start + s_ * fine, fine, maybe_first and s_ == 0)
             else:
-                _update(start, width, True)
+                _update(start, width, True, maybe_first)
 
     for t in range(n_sub):
         if causal or use_segments or use_window:
-            _dispatch(t * sub, sub)
+            _dispatch(t * sub, sub, maybe_first=t == 0)
         else:
-            _update(t * sub, sub, False)
+            _update(t * sub, sub, False, maybe_first=t == 0)
 
     @pl.when(is_last)
     def _flush():
         l = l_s[:, :1]
+        if spec:
+            m = m_s[:, :1]
+            # dead row = nothing ever accumulated: l exactly 0 (live rows
+            # always have l >= 1 — the reference-setting tile's argmax
+            # contributes exp2(0) — and +inf-poisoned rows only ever add
+            # 0) -> out=0 / lse=NEG_INF as in online mode. Overflow (l
+            # inf or nan, or l so large that acc = l*max|v| may have
+            # overflowed before l did) -> lse=+inf, the flag the
+            # wrapper's fallback cond reads.
+            dead = l == 0.0
+            log2l = jnp.log2(jnp.where(dead, 1.0, l))
+            bad = jnp.logical_or(
+                jnp.logical_not(l < jnp.inf), log2l >= 100.0
+            )
+            bad = jnp.logical_and(bad, jnp.logical_not(dead))
+            l_safe = jnp.where(l == 0.0, 1.0, l)
+            out_ref[0, 0] = jnp.where(
+                dead | bad, 0.0, acc_s[...] / l_safe
+            ).astype(out_ref.dtype)
+            lse_ref[0, 0] = jnp.where(
+                dead, NEG_INF,
+                jnp.where(bad, jnp.inf, (m + log2l) * jnp.float32(_LN2)),
+            )
+            return
         # "Dead" rows (every key masked, m still at the sentinel) normalize
         # to out=0 / lse=NEG_INF — identical across backends, weight-zero in
         # merge_partials.
@@ -460,7 +558,7 @@ def _fwd_kernel(
 
 def pallas_block_fwd(q, k, v, scale, mask: MaskArgs, interpret=False,
                      blk_q=None, blk_kv=None, out_dtype=None, kv_sub=None,
-                     kv_fine=None):
+                     kv_fine=None, softmax_mode="auto"):
     """q (B,Hq,Sq,D), k/v (B,Hkv,Skv,D) -> (out (B,Hq,Sq,D), lse f32 (B,Hq,Sq)).
 
     out_dtype defaults to fp32 (the merge-ready contract the schedules
@@ -469,7 +567,14 @@ def pallas_block_fwd(q, k, v, scale, mask: MaskArgs, interpret=False,
 
     blk_kv is the DMA/grid macro block; kv_sub the in-kernel sub-tile
     width for masking/causal-skipping granularity (defaults per measured
-    v5e optima; see _fwd_kernel)."""
+    v5e optima; see _fwd_kernel).
+
+    softmax_mode: "auto" picks "spec" (fixed per-q-block max reference,
+    see _update — mask-free 78.8 -> 92.9% of peak) on the batch paths it
+    is measured-safe for, with an exact lax.cond fallback to "online"
+    (classic running-max online softmax) on the in-kernel overflow flag;
+    "online" forces the classic path (also what the interpreter and the
+    fallback use)."""
     b, hq, sq, d = q.shape
     _, hkv, skv, _ = k.shape
     assert hq % hkv == 0, (hq, hkv)
@@ -479,6 +584,7 @@ def pallas_block_fwd(q, k, v, scale, mask: MaskArgs, interpret=False,
     # cast back): one fused HBM pass over k — group-x smaller than q under
     # GQA — vs. a VPU multiply over every logit block, and base-2 logits
     # for native exp2 in the kernel.
+    k_unscaled = k  # the spec-overflow fallback re-enters with raw k
     k = (k.astype(jnp.float32) * (scale * _LOG2E)).astype(k.dtype)
 
     causal = bool(mask.causal)
@@ -660,6 +766,26 @@ def pallas_block_fwd(q, k, v, scale, mask: MaskArgs, interpret=False,
         in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
         inputs.append(jnp.asarray(mask.alibi_slopes, jnp.float32) * _LOG2E)
 
+    # spec softmax (fixed per-row max reference, tools/exp_fwd_r5.py):
+    # "first" on the plain batch paths (reference set once per q-block
+    # from the first sub-tile — zero per-tile max work), "setonce" when
+    # segments/positions/windows mean rows go live at different tiles
+    # (per-tile row max + select, still no rescale). ALiBi stays online:
+    # its distance bias puts the first-tile max ~slope*S below the true
+    # max, which would bounce big-slope heads off the overflow fallback
+    # every call. Dropout and softcap compose fine (softcap overflow at
+    # huge caps is caught by the flag). The interpreter keeps the online
+    # path (it is a test-only mode and inf/NaN sentinel semantics differ
+    # subtly there).
+    if softmax_mode == "online" or use_alibi or interpret:
+        spec = False
+    elif use_meta or mask.window_left is not None or (
+        not causal and mask.window_right is not None
+    ):
+        spec = "setonce"
+    else:
+        spec = "first"
+
     kernel = functools.partial(
         _fwd_kernel,
         causal=causal,
@@ -678,6 +804,7 @@ def pallas_block_fwd(q, k, v, scale, mask: MaskArgs, interpret=False,
         sub=kv_sub,
         fine=kv_fine,
         num_kv_blocks=n_kv,
+        spec=spec,
     )
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -716,4 +843,23 @@ def pallas_block_fwd(q, k, v, scale, mask: MaskArgs, interpret=False,
         ),
         interpret=interpret,
     )(info, iq_map, ikv_map, q_meta, kv_meta, *inputs)
-    return out, lse.squeeze(-1)
+    lse = lse.squeeze(-1)
+
+    if spec and softmax_mode != "spec":
+        # Exact repair of the (data-pathological) spec overflow: the flush
+        # encodes it as lse=+inf (or NaN propagation); scan over lse is a
+        # ~1MB pass. The online branch only executes when the flag fires —
+        # never on sane data — so the headline pays one scalar reduce +
+        # cond dispatch. (softmax_mode="spec" skips the fallback: the
+        # experiment/bench mode where a silent +inf is acceptable.)
+        bad = jnp.any(jnp.logical_not(lse < jnp.inf))  # +inf or NaN
+
+        def _repair(_):
+            return pallas_block_fwd(
+                q, k_unscaled, v, scale, mask, interpret=interpret,
+                blk_q=blk_q, blk_kv=blk_kv, out_dtype=out_dtype,
+                kv_sub=kv_sub, kv_fine=kv_fine, softmax_mode="online",
+            )
+
+        out, lse = jax.lax.cond(bad, _repair, lambda _: (out, lse), None)
+    return out, lse

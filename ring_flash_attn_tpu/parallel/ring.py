@@ -41,36 +41,65 @@ def _step_mask(step, rank, w, l_kv, causal, extras):
     dropout, sliding window) force global coordinates; otherwise offsets
     stay None so the diagonal step keeps its static triangular grid.
 
-    A sliding window needs the position comparison on EVERY step (the
-    resident shard may be partially out of window), so those steps carry
-    causal=True with the step's global offset — the causal half of the
-    mask is then trivially true (all resident kv is earlier) and only the
-    window bound bites."""
+    A causal sliding window needs the position comparison on EVERY step
+    (the resident shard may be partially out of window), so those steps
+    carry causal=True with the step's global offset — the causal half of
+    the mask is then trivially true (all resident kv is earlier) and only
+    the window bound bites. A NON-causal window (r5: the reference
+    forwards arbitrary window_size on its batch paths, reference
+    ring_flash_attn.py:44-52) needs both absolute offsets so the kernel
+    sees the true signed q-kv distance of the resident shard."""
     kw = dict(extras)
-    window = kw.pop("window_left", None)
+    wl = kw.pop("window_left", None)
+    wr = kw.pop("window_right", None)
     need_abs = kw.get("alibi_slopes") is not None or kw.get("dropout_p")
-    if need_abs:
+    if need_abs or (not causal and (wl is not None or wr is not None)):
         qo = rank * l_kv
         # diagonal step: pass the SAME traced object for both offsets so
         # mask_info proves rel == 0 and keeps the triangular causal grid
         ko = qo if step == 0 else ((rank - step) % w) * l_kv
         kw.update(offset=qo, kv_offset=ko)
-    if window is not None:
-        kw.update(window_left=window)
-        if not need_abs and step > 0:
-            kw.update(offset=(rank - (rank - step) % w) * l_kv)
-        return MaskArgs(causal=True, **kw)
+    if wl is not None or wr is not None:
+        if causal:
+            kw.update(window_left=wl)
+            if not need_abs and step > 0:
+                kw.update(offset=(rank - (rank - step) % w) * l_kv)
+            return MaskArgs(causal=True, **kw)
+        kw.update(window_left=wl, window_right=wr)
+        return MaskArgs(causal=False, **kw)
     return MaskArgs(causal=causal and step == 0, **kw)
 
 
-def _window_skip(step, l_kv, extras):
-    """True when ring step `step`'s resident shard is entirely outside the
-    sliding window (min q-kv distance = step*L - (L-1)) — static, so the
-    whole block call is pruned at trace time (rotations still run)."""
+def _window_skip(step, l_kv, causal, extras):
+    """True when ring step `step`'s resident shard is entirely outside a
+    CAUSAL sliding window (min q-kv distance = step*L - (L-1)) — static,
+    so the whole block call is pruned at trace time (rotations still
+    run). Non-causal windows skip via `_window_need` instead (the signed
+    shard distance depends on the traced rank: steps past the rank hold
+    kv from LATER shards, so the step index alone says nothing)."""
     wl = extras.get("window_left")
     return (
-        wl is not None and step > 0 and step * l_kv - (l_kv - 1) > wl
+        causal and wl is not None and step > 0
+        and step * l_kv - (l_kv - 1) > wl
     )
+
+
+def _window_need(step, rank, w, l_kv, extras):
+    """Traced predicate: does the resident shard at ring step `step`
+    intersect a non-causal (left, right) window? The shard's signed
+    offset is (rank - src)*L with src = (rank - step) % w — rank-traced,
+    so out-of-window steps prune via lax.cond at run time."""
+    wl = extras.get("window_left")
+    wr = extras.get("window_right")
+    if (wl is None and wr is None) or step == 0:
+        return None  # statically needed
+    rel = (rank - (rank - step) % w) * l_kv
+    need = True
+    if wl is not None:
+        need = jnp.logical_and(need, rel - (l_kv - 1) <= wl)
+    if wr is not None:
+        need = jnp.logical_and(need, rel + (l_kv - 1) >= -wr)
+    return None if need is True else need
 
 
 def _ring_fwd(q, k, v, scale, causal, axis_name, backend, extras):
@@ -86,7 +115,7 @@ def _ring_fwd(q, k, v, scale, causal, axis_name, backend, extras):
         # wait() overlap (reference ring_flash_attn.py:28,61).
         kv_next = ring_rotate(kv, axis_name) if step < w - 1 else None
         kk, vv = kv[0], kv[1]
-        if _window_skip(step, l_kv, extras):
+        if _window_skip(step, l_kv, causal, extras):
             if kv_next is not None:
                 kv = kv_next
             continue
@@ -95,8 +124,19 @@ def _ring_fwd(q, k, v, scale, causal, axis_name, backend, extras):
             b_out, b_lse = block_fwd(q, kk, vv, scale, mask, backend)
             out, lse = merge_partials(None, None, b_out, b_lse)
         elif not causal:
-            b_out, b_lse = block_fwd(q, kk, vv, scale, mask, backend)
-            out, lse = merge_partials(out, lse, b_out, b_lse)
+            need = _window_need(step, rank, w, l_kv, extras)
+            if need is None:
+                b_out, b_lse = block_fwd(q, kk, vv, scale, mask, backend)
+                out, lse = merge_partials(out, lse, b_out, b_lse)
+            else:
+                # non-causal window: prune shards whose signed distance
+                # is rank-dependent (traced) at run time
+                def _compute(args, kk=kk, vv=vv, mask=mask):
+                    out, lse = args
+                    b_out, b_lse = block_fwd(q, kk, vv, scale, mask, backend)
+                    return merge_partials(out, lse, b_out, b_lse)
+
+                out, lse = lax.cond(need, _compute, lambda a: a, (out, lse))
         else:
             # causal: the kv resident at step s came from rank r-s; ranks
             # only attend to earlier shards => compute iff step <= rank
@@ -126,7 +166,7 @@ def _ring_bwd(q, k, v, out, lse, dout, scale, causal, axis_name, backend,
     for step in range(w):
         kv_next = ring_rotate(kv, axis_name) if step < w - 1 else None
         kk, vv = kv[0], kv[1]
-        if _window_skip(step, l_kv, extras):
+        if _window_skip(step, l_kv, causal, extras):
             # out-of-window shard: no gradient contribution, but the dkv
             # accumulator must still make its full circle
             dkv = ring_rotate(dkv, axis_name)
@@ -134,12 +174,23 @@ def _ring_bwd(q, k, v, out, lse, dout, scale, causal, axis_name, backend,
                 kv = kv_next
             continue
         mask = _step_mask(step, rank, w, l_kv, causal, extras)
-        if step == 0 or not causal:
+        need = None if causal else _window_need(step, rank, w, l_kv, extras)
+        if step == 0 or (not causal and need is None):
             b_dq, b_dk, b_dv = block_bwd(
                 dout, q, kk, vv, lse, delta, scale, mask, backend
             )
             dq = dq + b_dq
             dkv = dkv + jnp.stack([b_dk, b_dv])
+        elif not causal:
+
+            def _compute_w(args, kk=kk, vv=vv, mask=mask):
+                dq, dkv = args
+                b_dq, b_dk, b_dv = block_bwd(
+                    dout, q, kk, vv, lse, delta, scale, mask, backend
+                )
+                return dq + b_dq, dkv + jnp.stack([b_dk, b_dv])
+
+            dq, dkv = lax.cond(need, _compute_w, lambda a: a, (dq, dkv))
         else:
 
             def _compute(args, kk=kk, vv=vv, mask=mask):
@@ -160,17 +211,23 @@ def _ring_bwd(q, k, v, out, lse, dout, scale, causal, axis_name, backend,
 
 def ring_attention(q, k, v, *, scale, causal, axis_name, backend=None,
                    softcap=None, alibi_slopes=None, dropout_p=None,
-                   dropout_seed=None, window_left=None, head_offset=None):
+                   dropout_seed=None, window_left=None, window_right=None,
+                   head_offset=None):
     """Differentiable basic ring attention on per-shard (B,H,S,D) tensors.
 
     Must be called inside shard_map with q/k/v sharded contiguously along S
     over `axis_name`. Returns (out in q.dtype, lse fp32 (B,H,S)).
+
+    Windows: causal paths take window_left (window_right is capped at 0 by
+    causality); non-causal paths take the full (left, right) pair — the
+    reference forwards arbitrary window_size on its batch ring
+    (ring_flash_attn.py:44-52).
     """
-    if window_left is not None:
-        assert causal, "sliding window requires causal=True"
+    if window_right is not None and causal:
+        window_right = None  # causality already caps the right side at 0
     base = dict(softcap=softcap, alibi_slopes=alibi_slopes,
                 dropout_p=dropout_p, window_left=window_left,
-                head_offset=head_offset)
+                window_right=window_right, head_offset=head_offset)
     # the seed may be a tracer (per-step training seeds), which custom_vjp
     # can't close over — it rides as an explicit zero-cotangent argument
     seed = jnp.asarray(

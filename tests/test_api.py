@@ -236,9 +236,11 @@ def test_unsupported_kwargs_raise(data):
             causal=False, window_size=(64, 0),
         )
     with pytest.raises(NotImplementedError):
-        # only causal (left, 0) windows exist; bidirectional ones don't
-        rfa.ring_flash_attn_func(q, k, v, causal=True,
-                                 window_size=(128, 128))
+        # zigzag/stripe keep causal (left, 0)-only windows; the ring now
+        # forwards full (left, right) semantics like the reference's
+        # batch ring (r5, reference ring_flash_attn.py:44-52)
+        rfa.zigzag_ring_flash_attn_func(q, k, v, causal=True,
+                                        window_size=(128, 128))
 
 
 

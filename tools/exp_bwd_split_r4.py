@@ -46,16 +46,21 @@ def main():
 
     results = []
     for bq in (512, 1024, 2048):
-        for bkv in (512, 1024, 2048):
-            def f(q_, bq=bq, bkv=bkv):
+        for bkv in (512, 1024, 2048, 4096):
+            # big arrays ride as jit ARGS: closed-over device arrays become
+            # jit constants re-fetched through the tunnel at ~minutes/MB
+            # (the r4 run of this tool never finished for exactly that)
+            def f(q_, dout_, k_, v_, lse_, delta_, bq=bq, bkv=bkv):
                 dq, dk, dv = pallas_block_bwd(
-                    dout, q_, k, v, lse, delta, scale, mask,
+                    dout_, q_, k_, v_, lse_, delta_, scale, mask,
                     fused=False, blk_q=bq, blk_kv=bkv,
                 )
                 return (dq + jnp.sum(dk) + jnp.sum(dv)).astype(jnp.bfloat16)
 
+            fj = jax.jit(f)
             try:
-                dt = timed(jax.jit(f), q, n=6)
+                dt = timed(
+                    lambda q_: fj(q_, dout, k, v, lse, delta), q, n=6)
             except Exception as e:  # noqa: BLE001 — VMEM overflows expected
                 print(f"bq={bq:5d} kv={bkv:5d}  FAILED ({type(e).__name__})")
                 continue

@@ -28,31 +28,35 @@ PEAK = 197e12
 SCALE = D**-0.5
 
 
-def run(s):
-    q = jax.random.normal(jax.random.PRNGKey(0), (B, HQ, s, D), jnp.bfloat16)
+def run(s, hq=HQ, fwd_only=False):
+    q = jax.random.normal(jax.random.PRNGKey(0), (B, hq, s, D), jnp.bfloat16)
     k = jax.random.normal(jax.random.PRNGKey(1), (B, HKV, s, D), jnp.bfloat16)
     v = jax.random.normal(jax.random.PRNGKey(2), (B, HKV, s, D), jnp.bfloat16)
-    dout = jax.random.normal(jax.random.PRNGKey(3), (B, HQ, s, D),
-                             jnp.bfloat16)
     mask = MaskArgs(causal=True)
 
     fwd_j = jax.jit(lambda q_, k_, v_: flash_attention(
         q_, k_, v_, SCALE, mask)[0].astype(jnp.bfloat16))
+
+    n = max(2, int(120e-3 * 8192 / s))  # keep each chain ~fixed wall time
+    f_fwd = 4 * s * s * hq * D * 0.5
+    f_fb = f_fwd * 3.5
+    dt_f = timed(lambda q_: fwd_j(q_, k, v), q, n=4 * n)
+    if fwd_only:
+        print(f"S={s:6d} hq={hq:2d}  fwd {dt_f*1e3:8.2f} ms "
+              f"({f_fwd/dt_f/PEAK*100:5.1f}% peak)")
+        return
+    dout = jax.random.normal(jax.random.PRNGKey(3), (B, hq, s, D),
+                             jnp.bfloat16)
 
     def loss(q_, k_, v_, dout_):
         o, _ = flash_attention(q_, k_, v_, SCALE, mask)
         return jnp.sum(o.astype(jnp.float32) * dout_.astype(jnp.float32))
 
     grad = jax.jit(jax.grad(loss, (0, 1, 2)))
-
-    n = max(4, int(120e-3 * 8192 / s))  # keep each chain ~fixed wall time
-    f_fwd = 4 * s * s * HQ * D * 0.5
-    f_fb = f_fwd * 3.5
-    dt_f = timed(lambda q_: fwd_j(q_, k, v), q, n=4 * n)
     dt_b = timed(lambda q_: grad(q_, k, v, dout)[0].astype(jnp.bfloat16),
                  q, n=n)
-    print(f"S={s:6d}  fwd {dt_f*1e3:7.2f} ms ({f_fwd/dt_f/PEAK*100:5.1f}% "
-          f"peak)   fwd+bwd {dt_b*1e3:7.2f} ms "
+    print(f"S={s:6d} hq={hq:2d}  fwd {dt_f*1e3:8.2f} ms "
+          f"({f_fwd/dt_f/PEAK*100:5.1f}% peak)   fwd+bwd {dt_b*1e3:8.2f} ms "
           f"({f_fb/dt_b/PEAK*100:5.1f}% peak)")
 
 
@@ -62,6 +66,12 @@ def main():
         sizes += [65536, 131072]
     for s in sizes:
         run(s)
+    if "--xl" in sys.argv:
+        # BASELINE.md north-star regime. 262k at the full 32 q-heads
+        # fits HBM for fwd+bwd (~11 GB peak live); 512k drops to 8
+        # q-heads (the grads alone would exceed the 16 GB chip at 32).
+        run(262144)
+        run(524288, hq=8)
 
 
 if __name__ == "__main__":
